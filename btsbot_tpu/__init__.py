@@ -1,0 +1,42 @@
+"""btsbot-tpu: TPU-native framework for bright-transient alert classification.
+
+A from-scratch JAX/XLA re-design with the full capability surface of
+nabeelre/BTSbot (multi-modal CNN / ConvNeXt / MaxViT classifiers over ZTF
+alert triplets + metadata): on-device ingest and augmentation, pjit-sharded
+training, science-grade evaluation, and batched alert-stream serving.
+
+Public API mirrors the reference package facade
+(`/root/reference/btsbot/__init__.py`) where it makes sense
+(``load_HF_model``/``download_HF_model``, model names, report writer) while
+exposing the TPU-native engine underneath.
+"""
+
+from .version import __version__
+
+from .core.config import (
+    Config,
+    IMAGE_ONLY_MODELS,
+    METADATA_ONLY_MODELS,
+    MULTIMODAL_MODELS,
+    load_config,
+    normalize_config,
+)
+from .models.factory import MODEL_REGISTRY, build_model, init_model
+from .interop.convert import torch_state_dict_to_variables
+from .interop.hf import download_HF_model, load_HF_model
+
+__all__ = [
+    "__version__",
+    "Config",
+    "load_config",
+    "normalize_config",
+    "IMAGE_ONLY_MODELS",
+    "METADATA_ONLY_MODELS",
+    "MULTIMODAL_MODELS",
+    "MODEL_REGISTRY",
+    "build_model",
+    "init_model",
+    "torch_state_dict_to_variables",
+    "download_HF_model",
+    "load_HF_model",
+]

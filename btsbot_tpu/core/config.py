@@ -1,0 +1,94 @@
+"""Config handling for btsbot-tpu.
+
+The reference framework (nabeelre/BTSbot) drives everything off flat JSON
+configs (e.g. /root/reference/btsbot/train_configs/prod_config.json) accessed
+as raw dicts with scattered ``.get()`` defaults.  We keep the same flat-JSON
+surface so reference configs load unchanged, but normalize them once up front:
+
+* legacy-schema repair: ``comb_fc_neurons`` (prod_config.json:53) is mapped to
+  ``comb_fc1_neurons``/``comb_fc2_neurons`` which the models actually read
+  (reference architectures.py:215-218 would KeyError on its own prod config);
+* ``learning_rate`` may arrive as a string from sweep tooling
+  (reference train.py:84) — coerced to float;
+* defaults are centralized here instead of being sprinkled through the code.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Mapping
+
+
+# Model-category routing tables (reference train.py:41-43).
+IMAGE_ONLY_MODELS = ("MaxViT", "ConvNeXt", "um_cnn")
+METADATA_ONLY_MODELS = ("um_nn",)
+MULTIMODAL_MODELS = ("mm_MaxViT", "mm_ConvNeXt", "mm_cnn", "frozen_fusion")
+
+_DEFAULTS: dict[str, Any] = {
+    "pretrained": True,
+    "image_size": 63,
+    "N_max": 100,
+    "warmup_epochs": 0,
+    "use_test_split": False,
+    "data_aug_h_flip": True,
+    "data_aug_v_flip": True,
+    "data_aug_rot": True,
+    "metadata_cols": [],
+}
+
+
+class Config(dict):
+    """A dict with attribute access and normalized legacy keys."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    @property
+    def model_category(self) -> str:
+        name = self["model_name"]
+        if name in IMAGE_ONLY_MODELS:
+            return "image"
+        if name in METADATA_ONLY_MODELS:
+            return "metadata"
+        if name in MULTIMODAL_MODELS:
+            return "multimodal"
+        raise ValueError(
+            f"{name} not categorized as image-only/metadata-only/multimodal"
+        )
+
+    @property
+    def need_triplets(self) -> bool:
+        return self.model_category in ("image", "multimodal")
+
+    @property
+    def need_metadata(self) -> bool:
+        return self.model_category in ("metadata", "multimodal")
+
+
+def normalize_config(raw: Mapping[str, Any]) -> Config:
+    cfg = Config(_DEFAULTS)
+    cfg.update(raw)
+
+    # Legacy schema repair (reference prod_config.json:53 vs architectures.py:215-218)
+    if "comb_fc1_neurons" not in cfg and "comb_fc_neurons" in cfg:
+        cfg["comb_fc1_neurons"] = cfg["comb_fc_neurons"]
+    if "comb_fc2_neurons" not in cfg and "comb_fc_neurons" in cfg:
+        cfg["comb_fc2_neurons"] = cfg["comb_fc_neurons"]
+
+    # Sweep tooling sometimes stringifies numbers (reference train.py:84)
+    for key in ("learning_rate", "beta_1", "beta_2"):
+        if key in cfg:
+            cfg[key] = float(cfg[key])
+    for key in ("epochs", "batch_size", "patience", "warmup_epochs", "random_seed"):
+        if key in cfg:
+            cfg[key] = int(cfg[key])
+
+    return cfg
+
+
+def load_config(path: str) -> Config:
+    with open(path, "r") as f:
+        return normalize_config(json.load(f))

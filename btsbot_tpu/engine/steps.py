@@ -1,0 +1,101 @@
+"""Jit-compiled train / eval / predict steps.
+
+This is the replacement for the reference's per-batch Python loop
+(`/root/reference/btsbot/train.py:481-566` and val.py:128-157): one traced
+XLA program per step containing on-device augmentation, the forward pass,
+weighted-BCE loss, backward pass, and the optimizer update.  Under a sharded
+mesh (parallel.mesh) the batch is split on the "data" axis and XLA inserts
+the gradient all-reduce — the TPU-native form of DataParallel's
+scatter/gather (SURVEY.md §2).
+
+The augmentation RNG is derived by folding the step counter into the state's
+base key, so training is bit-reproducible per seed regardless of host
+threading (fixing the reference's unseeded CPU transforms, train.py:106-107).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.augment import augment_triplets
+from .loss import weighted_bce_with_logits
+from .state import TrainState
+
+
+def make_train_step(model, tx, config):
+    need_triplets = config.need_triplets
+    need_metadata = config.need_metadata
+    aug_flags = dict(
+        h_flip=bool(config.get("data_aug_h_flip", True)),
+        v_flip=bool(config.get("data_aug_v_flip", True)),
+        rot=bool(config.get("data_aug_rot", True)),
+    )
+    do_augment = need_triplets and any(aug_flags.values())
+
+    @jax.jit
+    def train_step(state: TrainState, images, metadata, labels, pos_weight):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        aug_rng, dropout_rng = jax.random.split(step_rng)
+
+        if do_augment:
+            images = augment_triplets(aug_rng, images, **aug_flags)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables,
+                image_input=images if need_triplets else None,
+                metadata_input=metadata if need_metadata else None,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            logits, updates = out
+            loss = weighted_bce_with_logits(logits, labels, pos_weight)
+            return loss, (logits, updates.get("batch_stats", {}))
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats if state.batch_stats else state.batch_stats,
+            opt_state=new_opt_state,
+        )
+        scores = jax.nn.sigmoid(logits.reshape(-1).astype(jnp.float32))
+        return new_state, {"loss": loss, "logits": logits.reshape(-1),
+                           "scores": scores}
+
+    return train_step
+
+
+def make_eval_step(model, config):
+    need_triplets = config.need_triplets
+    need_metadata = config.need_metadata
+
+    @jax.jit
+    def eval_step(params, batch_stats, images, metadata):
+        variables: dict[str, Any] = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        logits = model.apply(
+            variables,
+            image_input=images if need_triplets else None,
+            metadata_input=metadata if need_metadata else None,
+            train=False,
+        )
+        logits = logits.reshape(-1)
+        return logits, jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return eval_step

@@ -1,0 +1,198 @@
+"""ConvNeXt backbone, NHWC / TPU-native.
+
+Re-implementation of the ConvNeXt-v1 family (Liu et al. 2022) matching the
+timm checkpoints the reference builds on (`timm/convnext_pico.d1_in1k`,
+`mwalmsley/zoobot-encoder-convnext_pico`, `timm/convnext_nano.d1h_in1k` —
+reference from_HF.py / to_HF.py:165-177 and architectures.py:104-171)
+op-for-op so converted weights are bit-exact:
+
+* patchify stem: Conv 4×4/4 + LayerNorm (eps 1e-6);
+* stage downsampling: LayerNorm + Conv 2×2/2;
+* block: depthwise Conv 7×7 (SAME) → LayerNorm → Dense(4·dim) → exact GELU →
+  Dense(dim) → layer-scale γ (init 1e-6) → residual;
+* head: global average pool → LayerNorm → Dense stack (added by the wrapper
+  models below, mirroring the reference's head surgery).
+
+Everything runs channels-last, which is both the TPU-native layout and
+ConvNeXt's own internal layout for norm/MLP (torch implementations permute
+NCHW→NHWC inside every block; we never leave NHWC).
+
+Head-surgery parity with the reference:
+
+* ``ConvNeXtClassifier`` (reference ``ConvNeXt``, architectures.py:104-122):
+  pool → norm → flatten → Dense(fc1) → GELU → Dense(fc2) → GELU → Dropout →
+  Dense(1);
+* ``MmConvNeXt`` (reference ``mm_ConvNeXt``, architectures.py:125-171): the
+  backbone head keeps pool+norm+flatten only when "LS" is in
+  ``train_data_version`` (:137-143), else raw flatten of the final feature
+  map (which is 1×1 spatial for 63×63 inputs); fused with the metadata
+  branch through the combined head.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .common import CombinedHead, ImageHead, MetadataBranch, gelu_exact
+
+Dtype = Any
+
+# depths / dims for the timm ConvNeXt model names used by BTSbot checkpoints.
+CONVNEXT_CONFIGS: dict[str, dict] = {
+    "convnext_atto": {"depths": (2, 2, 6, 2), "dims": (40, 80, 160, 320)},
+    "convnext_femto": {"depths": (2, 2, 6, 2), "dims": (48, 96, 192, 384)},
+    "convnext_pico": {"depths": (2, 2, 6, 2), "dims": (64, 128, 256, 512)},
+    "convnext_nano": {"depths": (2, 2, 8, 2), "dims": (80, 160, 320, 640)},
+    "convnext_tiny": {"depths": (3, 3, 9, 3), "dims": (96, 192, 384, 768)},
+    "convnext_small": {"depths": (3, 3, 27, 3), "dims": (96, 192, 384, 768)},
+    "convnext_base": {"depths": (3, 3, 27, 3), "dims": (128, 256, 512, 1024)},
+}
+
+
+def convnext_spec(model_kind: str) -> dict:
+    """Resolve a timm-style model string (e.g. 'convnext_pico.d1_in1k' or
+    'mwalmsley/zoobot-encoder-convnext_pico') to depths/dims."""
+    m = re.search(r"(convnext_[a-z]+)", model_kind)
+    if not m or m.group(1) not in CONVNEXT_CONFIGS:
+        raise ValueError(f"Unknown ConvNeXt variant in model_kind: {model_kind}")
+    return CONVNEXT_CONFIGS[m.group(1)]
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    ls_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shortcut = x
+        x = nn.Conv(
+            self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
+            dtype=self.dtype, name="conv_dw",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
+        if self.ls_init_value is not None:
+            gamma = self.param(
+                "gamma", nn.initializers.constant(self.ls_init_value),
+                (self.dim,))
+            x = x * gamma.astype(x.dtype)
+        return shortcut + x
+
+
+class ConvNeXtStage(nn.Module):
+    dim: int
+    depth: int
+    downsample: bool
+    ls_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.downsample:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="downsample_norm")(x)
+            x = nn.Conv(self.dim, (2, 2), strides=(2, 2), padding="VALID",
+                        dtype=self.dtype, name="downsample_conv")(x)
+        for b in range(self.depth):
+            x = ConvNeXtBlock(self.dim, self.ls_init_value, self.dtype,
+                              name=f"block{b}")(x)
+        return x
+
+
+class ConvNeXtBackbone(nn.Module):
+    """Feature extractor: NHWC in, final feature map (N, h, w, dims[-1]) out."""
+
+    depths: Sequence[int] = (2, 2, 6, 2)
+    dims: Sequence[int] = (64, 128, 256, 512)
+    ls_init_value: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), padding="VALID",
+                    dtype=self.dtype, name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+        for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
+            x = ConvNeXtStage(
+                dim=dim, depth=depth, downsample=(s > 0),
+                ls_init_value=self.ls_init_value, dtype=self.dtype,
+                name=f"stage{s}",
+            )(x)
+        return x
+
+
+def _backbone_from_config(config, dtype) -> ConvNeXtBackbone:
+    spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
+    return ConvNeXtBackbone(
+        depths=spec["depths"], dims=spec["dims"], dtype=dtype, name="backbone")
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) → (N, C) average pool (timm SelectAdaptivePool2d 'avg')."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+class ConvNeXtClassifier(nn.Module):
+    """Image-only ConvNeXt (reference ``ConvNeXt``, architectures.py:104-122)."""
+
+    config: dict
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_input=None, metadata_input=None,
+                 train: bool = False) -> jnp.ndarray:
+        x = _backbone_from_config(self.config, self.dtype)(image_input)
+        x = global_avg_pool(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+        return ImageHead(
+            fc1=self.config["fc1_neurons"],
+            fc2=self.config["fc2_neurons"],
+            dropout=self.config["dropout"],
+            activation="gelu",
+            dtype=self.dtype,
+            name="head",
+        )(x, train=train)
+
+
+class MmConvNeXt(nn.Module):
+    """Multi-modal ConvNeXt (reference ``mm_ConvNeXt``, architectures.py:125-171)."""
+
+    config: dict
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_input=None, metadata_input=None,
+                 train: bool = False) -> jnp.ndarray:
+        x = _backbone_from_config(self.config, self.dtype)(image_input)
+        if "LS" in self.config.get("train_data_version", ""):
+            # pool + norm + flatten head variant (architectures.py:137-141)
+            x = global_avg_pool(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
+        else:
+            # flatten-only head (architectures.py:143); final map is 1×1
+            # spatial for 63×63 inputs so this is just (N, C).
+            x = x.reshape((x.shape[0], -1))
+        meta = MetadataBranch(
+            fc1=self.config["meta_fc1_neurons"],
+            fc2=self.config["meta_fc2_neurons"],
+            dropout=self.config["meta_dropout"],
+            activation="gelu",
+            dtype=self.dtype,
+            name="metadata_branch",
+        )(metadata_input, train=train)
+        combined = jnp.concatenate([x, meta], axis=1)
+        return CombinedHead(
+            fc1=self.config["comb_fc1_neurons"],
+            fc2=self.config["comb_fc2_neurons"],
+            dropout=self.config["comb_dropout"],
+            activation="gelu",
+            dtype=self.dtype,
+            name="combined_head",
+        )(combined, train=train)

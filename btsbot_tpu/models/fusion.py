@@ -1,0 +1,138 @@
+"""Frozen-fusion model: fuse two independently-trained single-modal models.
+
+Reference ``frozen_fusion`` (`/root/reference/btsbot/architectures.py:296-372`)
+loads a trained image model and a trained metadata model, strips their
+classification heads, freezes both branches, and trains only a new combined
+head.  Head-stripping semantics preserved per branch type
+(architectures.py:297-320):
+
+* ``um_cnn``  → features are the flattened conv stack output
+  (head → Identity, emb = conv feature dim);
+* ``ConvNeXt`` → global pool + head LayerNorm (emb = backbone channels);
+* ``MaxViT``  → global pool only (emb = backbone channels);
+* ``um_nn``   → BatchNorm→fc1→ReLU→Dropout→fc2, WITHOUT the trailing ReLU
+  (the [:-2] slice at architectures.py:300-302 drops the final ReLU and
+  Dense(1)).
+
+The branch parameter subtrees keep the same names as the standalone models,
+so trained checkpoints load directly into the fusion tree
+(see btsbot_tpu.interop.convert.load_fusion_branches); freezing is applied in
+the training engine by masking the optimizer update (zero-update on
+``image_branch``/``meta_branch`` subtrees) rather than by ad-hoc
+requires_grad flags (reference train.py:224-236).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear
+from .cnn import CnnBackbone
+from .common import ACTIVATIONS, CombinedHead
+from .convnext import ConvNeXtBackbone, convnext_spec, global_avg_pool
+from .maxvit import MaxViTBackbone, get_model_image_size, maxvit_spec
+
+Dtype = Any
+
+
+def resolve_fusion_config(config: dict) -> dict:
+    """Fill image_model_config / meta_model_config from the branch model dirs'
+    report.json when not provided inline (architectures.py:323-326)."""
+    config = dict(config)
+    for key, dir_key in (("image_model_config", "image_model_dir"),
+                         ("meta_model_config", "meta_model_dir")):
+        if config.get(key) is None:
+            report = os.path.join(config[dir_key], "report.json")
+            with open(report, "r") as f:
+                config[key] = json.load(f)["train_config"]
+    return config
+
+
+class _ImageFeatures(nn.Module):
+    """Head-stripped image branch (um_cnn / ConvNeXt / MaxViT)."""
+
+    branch_config: dict
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        name = self.branch_config["model_name"]
+        if name == "um_cnn":
+            feats = CnnBackbone(
+                conv1_channels=self.branch_config["conv1_channels"],
+                conv2_channels=self.branch_config["conv2_channels"],
+                kernel=self.branch_config["conv_kernel"],
+                dropout1=self.branch_config["conv_dropout1"],
+                dropout2=self.branch_config["conv_dropout2"],
+                dtype=self.dtype, name="backbone",
+            )(x, train=train)
+            return feats
+        if name == "ConvNeXt":
+            spec = convnext_spec(
+                self.branch_config.get("model_kind", "convnext_nano.d1h_in1k"))
+            feats = ConvNeXtBackbone(
+                depths=spec["depths"], dims=spec["dims"], dtype=self.dtype,
+                name="backbone")(x)
+            feats = global_avg_pool(feats)
+            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                name="head_norm")(feats)
+        if name == "MaxViT":
+            model_kind = self.branch_config.get(
+                "model_kind", "maxvit_tiny_rw_224.sw_in1k")
+            spec = maxvit_spec(model_kind)
+            x = resize_bilinear(x, get_model_image_size(model_kind))
+            feats = MaxViTBackbone(
+                depths=spec["depths"], dims=spec["dims"],
+                stem_width=spec["stem_width"], dtype=self.dtype,
+                name="backbone")(x, train=train)
+            return jnp.mean(feats, axis=(1, 2))
+        raise ValueError(f"Model {name} not supported as fusion image branch")
+
+
+class _MetaFeatures(nn.Module):
+    """Head-stripped um_nn: BN→fc1→ReLU→Dropout→fc2 (no trailing act)."""
+
+    branch_config: dict
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        act = ACTIVATIONS["relu"]
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+        x = nn.Dense(self.branch_config["meta_fc1_neurons"], dtype=self.dtype,
+                     name="fc1")(x)
+        x = act(x)
+        x = nn.Dropout(self.branch_config["meta_dropout"],
+                       deterministic=not train)(x)
+        x = nn.Dense(self.branch_config["meta_fc2_neurons"], dtype=self.dtype,
+                     name="fc2")(x)
+        return x
+
+
+class FrozenFusion(nn.Module):
+    config: dict
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_input=None, metadata_input=None,
+                 train: bool = False) -> jnp.ndarray:
+        cfg = resolve_fusion_config(self.config)
+        img = _ImageFeatures(cfg["image_model_config"], dtype=self.dtype,
+                             name="image_branch")(image_input, train=train)
+        meta = _MetaFeatures(cfg["meta_model_config"], dtype=self.dtype,
+                             name="meta_branch")(metadata_input, train=train)
+        combined = jnp.concatenate([img, meta], axis=1)
+        return CombinedHead(
+            fc1=cfg["comb_fc1_neurons"],
+            fc2=cfg["comb_fc2_neurons"],
+            dropout=cfg["comb_dropout"],
+            activation="relu",
+            dtype=self.dtype,
+            name="combined_head",
+        )(combined, train=train)

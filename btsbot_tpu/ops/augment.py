@@ -1,0 +1,62 @@
+"""On-device, batched training augmentations.
+
+The reference augments per-sample on the host inside DataLoader workers
+(`/root/reference/btsbot/train.py:179-191`: RandomHorizontalFlip(p=0.5),
+RandomVerticalFlip(p=0.5), and a uniformly random right-angle rotation from
+`/root/reference/btsbot/utils.py:45-48`).  Here the same pipeline is a single
+jit-compiled batched transform under explicit PRNG keys, so augmentation runs
+on the TPU fused with the training step and is reproducible per seed
+(fixing the reference's unseeded-CPU-transform wart, train.py:106-107).
+
+Images are NHWC and square (63×63 or after resize), so right-angle rotations
+are pure transpose/flip ops — no interpolation, exactly matching torchvision's
+rotate() at multiples of 90° on square grids.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _rot90_batch(images: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Rotate each (H, W, C) image CCW by k*90° (k per-sample in {0,1,2,3})."""
+    def rot_single(img, ki):
+        return jax.lax.switch(
+            ki,
+            [
+                lambda x: x,
+                lambda x: jnp.rot90(x, k=1, axes=(0, 1)),
+                lambda x: jnp.rot90(x, k=2, axes=(0, 1)),
+                lambda x: jnp.rot90(x, k=3, axes=(0, 1)),
+            ],
+            img,
+        )
+    return jax.vmap(rot_single)(images, k)
+
+
+@functools.partial(jax.jit, static_argnames=("h_flip", "v_flip", "rot"))
+def augment_triplets(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    h_flip: bool = True,
+    v_flip: bool = True,
+    rot: bool = True,
+) -> jnp.ndarray:
+    """Batched flip/rotate augmentation; flags mirror config keys
+    ``data_aug_{h_flip,v_flip,rot}`` (reference train.py:181-183)."""
+    n = images.shape[0]
+    k_h, k_v, k_r = jax.random.split(rng, 3)
+
+    if h_flip:
+        do = jax.random.bernoulli(k_h, 0.5, (n, 1, 1, 1))
+        images = jnp.where(do, jnp.flip(images, axis=2), images)
+    if v_flip:
+        do = jax.random.bernoulli(k_v, 0.5, (n, 1, 1, 1))
+        images = jnp.where(do, jnp.flip(images, axis=1), images)
+    if rot:
+        k = jax.random.randint(k_r, (n,), 0, 4)
+        images = _rot90_batch(images, k)
+    return images

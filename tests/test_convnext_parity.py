@@ -1,0 +1,75 @@
+"""ConvNeXt parity: timm-style torch oracle vs the flax backbone, through the
+checkpoint converter (BASELINE.md configs 2 and 3)."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from btsbot_tpu import build_model, normalize_config, torch_state_dict_to_variables
+from torch_mirrors import TorchConvNeXtClassifier, TorchMmConvNeXt
+
+META_COLS = [f"m{i}" for i in range(25)]
+
+BASE_CFG = {
+    "model_kind": "convnext_pico.d1_in1k",
+    "train_data_version": "v10",
+    "metadata_cols": META_COLS,
+    "fc1_neurons": 64,
+    "fc2_neurons": 16,
+    "dropout": 0.4,
+    "meta_fc1_neurons": 128,
+    "meta_fc2_neurons": 128,
+    "meta_dropout": 0.25,
+    "comb_fc1_neurons": 8,
+    "comb_fc2_neurons": 8,
+    "comb_dropout": 0.2,
+}
+
+
+def _rand_inputs(seed=1, n=3, size=63):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(n, size, size, 3)).astype(np.float32)
+    meta = rng.normal(size=(n, 25)).astype(np.float32)
+    return img, meta
+
+
+def test_convnext_image_only_parity():
+    config = normalize_config({**BASE_CFG, "model_name": "ConvNeXt"})
+    torch.manual_seed(7)
+    oracle = TorchConvNeXtClassifier(dict(config)).eval()
+
+    img, _ = _rand_inputs()
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy())).numpy()
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    variables = torch_state_dict_to_variables(config, sd)
+    model = build_model(config)
+    got = np.asarray(model.apply(
+        variables, image_input=jnp.asarray(img), train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_mm_convnext_parity():
+    config = normalize_config({**BASE_CFG, "model_name": "mm_ConvNeXt"})
+    torch.manual_seed(8)
+    oracle = TorchMmConvNeXt(dict(config)).eval()
+    from torch_mirrors import randomize_bn_stats
+    randomize_bn_stats(oracle, seed=5)
+
+    img, meta = _rand_inputs(seed=2)
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()),
+            torch.from_numpy(meta)).numpy()
+
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()
+          if "num_batches_tracked" not in k}
+    variables = torch_state_dict_to_variables(config, sd)
+    model = build_model(config)
+    got = np.asarray(model.apply(
+        variables, image_input=jnp.asarray(img),
+        metadata_input=jnp.asarray(meta), train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
