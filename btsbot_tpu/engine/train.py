@@ -1,0 +1,250 @@
+"""End-to-end training engine.
+
+The TPU-native replacement for the reference's ``run_training``
+(`/root/reference/btsbot/train.py:75-478`).  Training semantics preserved:
+
+* pos-weighted BCE with pos_weight = num_notbts/num_bts (train.py:211-212);
+* AdamW(lr, betas) with torch defaults (train.py:242-246);
+* linear-warmup → cosine LR stepped per epoch (train.py:249-260);
+* on-device flip/rot augmentation per config flags (train.py:179-191);
+* early stopping: save best when 1.005·val_loss < best-so-far, patience
+  counter on non-improving epochs (train.py:334-353);
+* best/latest checkpoints per epoch + report.json (train.py:314-340,439).
+
+TPU-native differences: the whole step (aug+fwd+bwd+update) is one jitted
+XLA program; batches are sharded over the mesh "data" axis (DataParallel
+equivalent); validation reuses in-memory params (no per-epoch model reload
+from disk, cf. val.py:68-69); checkpoints carry full optimizer state so
+training is resumable (capability the reference lacks — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import normalize_config
+from ..data.dataset import AlertDataset, iterate_batches, load_split
+from ..metrics.diagnostics import diagnostic_summary
+from ..metrics.report import make_report
+from ..models.factory import init_model
+from ..parallel.mesh import batch_sharding
+from ..parallel.sharding import shard_variables
+from .checkpoint import restore_train_state, save_model_variables, save_train_state
+from .eval import evaluate
+from .state import create_train_state, make_optimizer
+from .steps import make_train_step
+
+
+def run_training(
+    config,
+    data_dir: str = "data",
+    run_name: str = "run",
+    out_root: str = "models",
+    mesh=None,
+    train_ds: AlertDataset | None = None,
+    val_ds: AlertDataset | None = None,
+    test_ds: AlertDataset | None = None,
+    make_figure: bool = True,
+    resume: bool = False,
+    log: Callable[[str], None] = print,
+    epoch_callback: Callable[[int, dict], None] | None = None,
+) -> dict[str, Any]:
+    config = normalize_config(config)
+    seed = int(config.get("random_seed", 0))
+
+    # /---------------- data ----------------/
+    if train_ds is None:
+        train_ds = load_split(config, "train", data_dir)
+    if val_ds is None:
+        val_ds = load_split(config, "val", data_dir)
+    if config.get("use_test_split", False) and test_ds is None:
+        test_ds = load_split(config, "test", data_dir)
+
+    batch_size = int(config["batch_size"])
+    epochs = int(config["epochs"])
+    patience = int(config["patience"])
+    pos_weight = float(train_ds.pos_weight)
+    steps_per_epoch = len(train_ds) // batch_size
+    log(f"num_notbts: {train_ds.num_neg}  num_bts: {train_ds.num_pos}  "
+        f"pos_weight: {pos_weight:.3f}")
+
+    # /---------------- model / optimizer ----------------/
+    model, variables = init_model(config, rng=seed)
+    tx = make_optimizer(config, steps_per_epoch)
+    state = create_train_state(config, variables, tx, seed=seed)
+
+    data_shard = None
+    if mesh is not None:
+        state = state.replace(
+            params=shard_variables(state.params, mesh),
+            batch_stats=shard_variables(state.batch_stats, mesh),
+            opt_state=shard_variables(state.opt_state, mesh),
+        )
+        data_shard = batch_sharding(mesh)
+
+    train_step = make_train_step(model, tx, config)
+
+    run_model_name = (f"{config['model_name']}_{config['train_data_version']}"
+                      f"_N{config.get('N_max', 100)}_tpu")
+    model_dir = os.path.join(out_root, run_model_name, run_name)
+    os.makedirs(model_dir, exist_ok=True)
+
+    # /---------------- history / resume ----------------/
+    train_losses = np.zeros(epochs)
+    train_accs = np.zeros(epochs)
+    val_losses = np.full(epochs, np.inf)
+    val_accs = np.zeros(epochs)
+    start_epoch = 0
+    epochs_since_improvement = 0
+    best_raw_preds = None
+    best_val_labels = None
+
+    latest_dir = os.path.join(model_dir, "latest")
+    best_dir = os.path.join(model_dir, "best")
+    if resume and os.path.isdir(latest_dir):
+        state, extra = restore_train_state(latest_dir, state)
+        start_epoch = int(extra["epoch"]) + 1
+        epochs_since_improvement = int(extra["epochs_since_improvement"])
+        for name, arr in (("train_losses", train_losses),
+                          ("train_accs", train_accs),
+                          ("val_losses", val_losses),
+                          ("val_accs", val_accs)):
+            prev = np.asarray(extra[name])
+            arr[:prev.size] = prev[:arr.size]
+        log(f"Resumed from {latest_dir} at epoch {start_epoch}")
+
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        return jax.device_put(x, data_shard) if data_shard is not None else x
+
+    pos_weight_dev = jnp.float32(pos_weight)
+
+    # /---------------- epoch loop ----------------/
+    final_epoch = max(start_epoch - 1, 0)
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        losses = []
+        correct = 0
+        seen = 0
+        for images, metadata, labels in iterate_batches(
+                train_ds, batch_size, shuffle=True, drop_last=True,
+                seed=seed + epoch):
+            state, m = train_step(state, put(images), put(metadata),
+                                  put(labels), pos_weight_dev)
+            losses.append(m["loss"])
+            scores = np.asarray(m["scores"])
+            correct += int(np.sum((scores > 0.5) == (labels > 0.5)))
+            seen += labels.size
+        epoch_train_loss = float(np.mean([float(x) for x in losses]))
+        epoch_train_acc = correct / max(1, seen)
+        train_losses[epoch] = epoch_train_loss
+        train_accs[epoch] = epoch_train_acc
+
+        val_loss, val_acc, val_raw_preds, val_labels = evaluate(
+            model, config, state.params, state.batch_stats, val_ds,
+            pos_weight, batch_size, data_shard)
+        val_losses[epoch] = val_loss
+        val_accs[epoch] = val_acc
+        final_epoch = epoch
+
+        log(f"epoch {epoch + 1}/{epochs}  t={time.time() - t0:.1f}s  "
+            f"train loss {epoch_train_loss:.5f} acc {epoch_train_acc:.5f}  "
+            f"val loss {val_loss:.5f} acc {val_acc:.5f}")
+
+        # save latest (full resume state)
+        save_train_state(latest_dir, state, {
+            "epoch": epoch,
+            "epochs_since_improvement": epochs_since_improvement,
+            "train_losses": train_losses[:epoch + 1],
+            "train_accs": train_accs[:epoch + 1],
+            "val_losses": val_losses[:epoch + 1],
+            "val_accs": val_accs[:epoch + 1],
+        })
+
+        # early stopping with the reference's 0.5% improvement margin
+        prev_best = float(np.min(val_losses[:epoch])) if epoch > 0 else np.inf
+        if 1.005 * val_loss < prev_best:
+            save_model_variables(best_dir, state.params, state.batch_stats)
+            best_raw_preds = np.copy(val_raw_preds)
+            best_val_labels = np.copy(val_labels)
+            epochs_since_improvement = 0
+            log(f"  val loss improved from {prev_best:.5f}; saved best model")
+        else:
+            epochs_since_improvement += 1
+            log(f"  no improvement for {epochs_since_improvement} epoch(s)")
+            if epochs_since_improvement >= patience:
+                log("  triggered early stopping")
+                break
+
+        if epoch_callback is not None:
+            epoch_callback(epoch, {
+                "train_loss": epoch_train_loss,
+                "train_accuracy": epoch_train_acc,
+                "val_loss": val_loss,
+                "val_accuracy": val_acc,
+            })
+
+    if best_raw_preds is None:  # no epoch improved (resume edge): use last
+        best_raw_preds = val_raw_preds
+        best_val_labels = val_labels
+
+    # /---------------- final analysis ----------------/
+    run_data = {
+        "run_name": run_name,
+        "train_loss": train_losses[:final_epoch + 1],
+        "train_accuracy": train_accs[:final_epoch + 1],
+        "val_loss": val_losses[:final_epoch + 1],
+        "val_accuracy": val_accs[:final_epoch + 1],
+    }
+
+    summaries = {}
+    analysis = [("val", val_ds, best_raw_preds, best_val_labels)]
+    if test_ds is not None:
+        _, _, test_preds, test_labels = evaluate(
+            model, config, state.params, state.batch_stats, test_ds,
+            pos_weight, batch_size, data_shard)
+        analysis.append(("test", test_ds, test_preds, test_labels))
+
+    for split, ds, preds, labels in analysis:
+        if ds.candidates is not None and "objectId" in ds.candidates:
+            summary = diagnostic_summary(
+                ds.candidates, preds, labels,
+                run_data={
+                    "run_name": run_name,
+                    "loss": run_data["train_loss"],
+                    "accuracy": run_data["train_accuracy"],
+                    "val_loss": run_data["val_loss"],
+                    "val_accuracy": run_data["val_accuracy"],
+                },
+                make_figure=make_figure,
+                fig_path=os.path.join(model_dir, f"{split}_diagnostics.pdf"),
+            )
+            summary.pop("fig", None)
+        else:
+            from ..metrics.classification import alert_metrics
+            summary = alert_metrics(labels, preds)
+        summaries[split] = summary
+
+    make_report(config, os.path.join(model_dir, "report.json"), run_data,
+                summaries["val"])
+
+    log(f"Best val loss: {np.min(val_losses[:final_epoch + 1]):.5f}  "
+        f"best val acc: {np.max(val_accs[:final_epoch + 1]):.5f}")
+    log(f"Model diagnostics at {model_dir}")
+
+    return {
+        "model_dir": model_dir,
+        "model": model,
+        "state": state,
+        "history": run_data,
+        "summaries": summaries,
+    }
