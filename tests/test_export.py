@@ -1,0 +1,97 @@
+"""Export path: JAX→torch state dict round trips and cross-runtime parity
+(the replacement for to_onnx's verify harness)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from btsbot_tpu import (
+    build_model,
+    init_model,
+    normalize_config,
+    torch_state_dict_to_variables,
+)
+from btsbot_tpu.interop.export import variables_to_torch_state_dict
+from test_cnn_parity import CNN_CFG, _rand_inputs
+from torch_mirrors import (
+    TorchConvNeXtClassifier,
+    TorchMmCnn,
+    TorchMmConvNeXt,
+    TorchUmCnn,
+    TorchUmNN,
+    randomize_bn_stats,
+)
+
+CONVNEXT_CFG = {
+    **CNN_CFG,
+    "model_kind": "convnext_pico.d1_in1k",
+}
+
+
+@pytest.mark.parametrize("model_name", [
+    "mm_cnn", "um_cnn", "um_nn", "ConvNeXt", "mm_ConvNeXt",
+])
+def test_roundtrip_torch_jax_torch(model_name):
+    """torch sd → JAX variables → torch sd is the identity."""
+    config = normalize_config({**CONVNEXT_CFG, "model_name": model_name})
+    torch.manual_seed(11)
+    cls = {"mm_cnn": TorchMmCnn, "um_cnn": TorchUmCnn, "um_nn": TorchUmNN,
+           "ConvNeXt": TorchConvNeXtClassifier,
+           "mm_ConvNeXt": TorchMmConvNeXt}[model_name]
+    oracle = cls(dict(config)).eval()
+    randomize_bn_stats(oracle, seed=7)
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()
+          if "num_batches_tracked" not in k}
+
+    variables = torch_state_dict_to_variables(config, sd)
+    sd2 = variables_to_torch_state_dict(config, variables)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(sd2[k], v, err_msg=k)
+
+
+def test_export_loads_into_torch_and_matches_jax():
+    """A freshly initialized JAX model exports to a state dict that loads
+    into the torch oracle and reproduces the JAX forward pass."""
+    config = normalize_config({**CNN_CFG, "model_name": "mm_cnn"})
+    model, variables = init_model(config, rng=3)
+
+    sd = variables_to_torch_state_dict(config, variables)
+    oracle = TorchMmCnn(dict(config))
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    missing, unexpected = oracle.load_state_dict(tensors, strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k for k in missing) or not missing
+    oracle.eval()
+
+    img, meta = _rand_inputs(seed=9)
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()),
+            torch.from_numpy(meta)).numpy()
+    got = np.asarray(model.apply(variables, image_input=jnp.asarray(img),
+                                 metadata_input=jnp.asarray(meta),
+                                 train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_publish_helpers():
+    from btsbot_tpu.interop.publish import (
+        config_to_params,
+        get_HF_basemodel,
+    )
+
+    cfg = {"model_name": "mm_ConvNeXt",
+           "model_kind": "convnext_pico.d1_in1k"}
+    assert config_to_params(cfg) == ("convnext", False, "imagenet")
+    cfg2 = {"model_name": "ConvNeXt",
+            "model_kind": "mwalmsley/zoobot-encoder-convnext_pico"}
+    assert config_to_params(cfg2) == ("convnext", False, "galaxyzoo")
+    cfg3 = {"model_name": "MaxViT",
+            "model_kind": "maxvit_tiny_rw_224.sw_in1k", "pretrained": False}
+    assert config_to_params(cfg3) == ("maxvit", False, "randinit")
+    assert "zoobot" in get_HF_basemodel("convnext", "galaxyzoo")
+    with pytest.raises(ValueError):
+        get_HF_basemodel("resnet", "imagenet")
