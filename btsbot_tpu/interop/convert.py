@@ -215,12 +215,24 @@ def _convert_mm_convnext(config: Config, sd) -> dict:
             "batch_stats": {"metadata_branch": meta_stats}}
 
 
+def _convert_maxvit(config, sd):
+    from .maxvit_convert import convert_maxvit
+    return convert_maxvit(config, sd)
+
+
+def _convert_mm_maxvit(config, sd):
+    from .maxvit_convert import convert_mm_maxvit
+    return convert_mm_maxvit(config, sd)
+
+
 _CONVERTERS = {
     "mm_cnn": _convert_mm_cnn,
     "um_cnn": _convert_um_cnn,
     "um_nn": _convert_um_nn,
     "ConvNeXt": _convert_convnext,
     "mm_ConvNeXt": _convert_mm_convnext,
+    "MaxViT": _convert_maxvit,
+    "mm_MaxViT": _convert_mm_maxvit,
 }
 
 

@@ -171,12 +171,24 @@ def _export_mm_convnext(config: Config, variables: Mapping) -> dict:
     return sd
 
 
+def _export_maxvit(config, variables):
+    from .maxvit_convert import export_maxvit
+    return export_maxvit(config, variables)
+
+
+def _export_mm_maxvit(config, variables):
+    from .maxvit_convert import export_mm_maxvit
+    return export_mm_maxvit(config, variables)
+
+
 _EXPORTERS = {
     "mm_cnn": _export_mm_cnn,
     "um_cnn": _export_um_cnn,
     "um_nn": _export_um_nn,
     "ConvNeXt": _export_convnext,
     "mm_ConvNeXt": _export_mm_convnext,
+    "MaxViT": _export_maxvit,
+    "mm_MaxViT": _export_mm_maxvit,
 }
 
 

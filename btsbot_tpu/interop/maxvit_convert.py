@@ -1,0 +1,222 @@
+"""MaxViT torch checkpoint ↔ flax conversion.
+
+Key naming follows timm's maxxvit module structure (stem.conv1/norm1/conv2;
+stages.{s}.blocks.{b}.conv.* for the MBConv, .attn_block.* / .attn_grid.*
+for the two attention sublayers with swin-style
+``relative_position_bias_table``), wrapped under the reference model attrs
+(``maxvit.`` for the image-only classifier with its Sequential head surgery,
+``maxvit_backbone.`` for mm_MaxViT — reference architectures.py:25-101).
+
+Exact-key parity against real timm `maxvit_tiny_rw_224` checkpoints cannot
+be validated in this offline environment (timm is not installed); the
+mapping is written to the documented naming and validated bidirectionally
+against the in-repo torch oracle (tests/torch_maxvit_mirror.py).  A remap
+hook (``key_aliases``) is provided so real-checkpoint deviations can be
+patched without touching the structural mapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from ..core.config import Config
+from ..models.maxvit import maxvit_spec
+from .convert import t_bn_stats, t_conv, t_linear, t_norm_affine
+
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _mbconv(sd, prefix, in_chs, out_chs, stride):
+    params: dict[str, Any] = {
+        "conv1_1x1": t_conv(sd, f"{prefix}.conv1_1x1"),
+        "conv2_dw": t_conv(sd, f"{prefix}.conv2_kxk"),
+        "conv3_1x1": t_conv(sd, f"{prefix}.conv3_1x1"),
+        "se": {"fc1": t_conv(sd, f"{prefix}.se.fc1"),
+               "fc2": t_conv(sd, f"{prefix}.se.fc2")},
+        "pre_norm": t_norm_affine(sd, f"{prefix}.pre_norm"),
+        "norm1": t_norm_affine(sd, f"{prefix}.norm1"),
+        "norm2": t_norm_affine(sd, f"{prefix}.norm2"),
+    }
+    stats = {
+        "pre_norm": t_bn_stats(sd, f"{prefix}.pre_norm"),
+        "norm1": t_bn_stats(sd, f"{prefix}.norm1"),
+        "norm2": t_bn_stats(sd, f"{prefix}.norm2"),
+    }
+    if stride == 2 or in_chs != out_chs:
+        params["shortcut_conv"] = t_conv(sd, f"{prefix}.shortcut.conv")
+    return params, stats
+
+
+def _attention(sd, prefix, our_suffix):
+    return {
+        f"norm1_{our_suffix}": t_norm_affine(sd, f"{prefix}.norm1"),
+        f"attn_{our_suffix}": {
+            "qkv": t_linear(sd, f"{prefix}.attn.qkv"),
+            "proj": t_linear(sd, f"{prefix}.attn.proj"),
+            "rel_pos_table": _np(
+                sd[f"{prefix}.attn.rel_pos.relative_position_bias_table"]
+            ).copy(),
+        },
+        f"norm2_{our_suffix}": t_norm_affine(sd, f"{prefix}.norm2"),
+        f"mlp_{our_suffix}": {
+            "fc1": t_linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": t_linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def maxvit_backbone_to_flax(sd: Mapping, prefix: str, model_kind: str):
+    """(params, batch_stats) for a MaxViTBackbone from timm-named keys."""
+    spec = maxvit_spec(model_kind)
+    p = f"{prefix}." if prefix else ""
+    params: dict[str, Any] = {
+        "stem_conv1": t_conv(sd, f"{p}stem.conv1"),
+        "stem_norm1": t_norm_affine(sd, f"{p}stem.norm1"),
+        "stem_conv2": t_conv(sd, f"{p}stem.conv2"),
+    }
+    stats: dict[str, Any] = {
+        "stem_norm1": t_bn_stats(sd, f"{p}stem.norm1"),
+    }
+    in_chs = spec["stem_width"]
+    for s, (depth, dim) in enumerate(zip(spec["depths"], spec["dims"])):
+        for b in range(depth):
+            stride = 2 if b == 0 else 1
+            bp = f"{p}stages.{s}.blocks.{b}"
+            block_params: dict[str, Any] = {}
+            block_stats: dict[str, Any] = {}
+            mb_params, mb_stats = _mbconv(sd, f"{bp}.conv", in_chs, dim,
+                                          stride)
+            block_params["mbconv"] = mb_params
+            block_stats["mbconv"] = mb_stats
+            block_params.update(_attention(sd, f"{bp}.attn_block", "block"))
+            block_params.update(_attention(sd, f"{bp}.attn_grid", "grid"))
+            params[f"stage{s}_block{b}"] = block_params
+            stats[f"stage{s}_block{b}"] = block_stats
+            in_chs = dim
+    return params, stats
+
+
+def convert_maxvit(config: Config, sd: Mapping) -> dict:
+    """Image-only MaxViT (reference head Sequential: 1=fc1, 3=fc2, 6=out)."""
+    model_kind = config.get("model_kind", "maxvit_tiny_rw_224.sw_in1k")
+    b_params, b_stats = maxvit_backbone_to_flax(sd, "maxvit", model_kind)
+    params = {
+        "backbone": b_params,
+        "head": {
+            "fc1": t_linear(sd, "maxvit.head.1"),
+            "fc2": t_linear(sd, "maxvit.head.3"),
+            "out": t_linear(sd, "maxvit.head.6"),
+        },
+    }
+    return {"params": params, "batch_stats": {"backbone": b_stats}}
+
+
+def convert_mm_maxvit(config: Config, sd: Mapping) -> dict:
+    from .convert import _metadata_branch
+
+    model_kind = config.get("model_kind", "maxvit_tiny_rw_224.sw_in1k")
+    b_params, b_stats = maxvit_backbone_to_flax(
+        sd, "maxvit_backbone", model_kind)
+    meta_params, meta_stats = _metadata_branch(sd, "metadata_branch")
+    params = {
+        "backbone": b_params,
+        "metadata_branch": meta_params,
+        "combined_head": {
+            "fc1": t_linear(sd, "combined_head.0"),
+            "fc2": t_linear(sd, "combined_head.2"),
+            "out": t_linear(sd, "combined_head.5"),
+        },
+    }
+    return {"params": params,
+            "batch_stats": {"backbone": b_stats,
+                            "metadata_branch": meta_stats}}
+
+
+# -------------------------- export (flax → torch) -------------------------
+
+def _inv_mbconv(sd, prefix, params, stats):
+    from .export import inv_bn, inv_conv
+
+    inv_bn(sd, f"{prefix}.pre_norm", params["pre_norm"], stats["pre_norm"])
+    inv_conv(sd, f"{prefix}.conv1_1x1", params["conv1_1x1"])
+    inv_bn(sd, f"{prefix}.norm1", params["norm1"], stats["norm1"])
+    inv_conv(sd, f"{prefix}.conv2_kxk", params["conv2_dw"])
+    inv_bn(sd, f"{prefix}.norm2", params["norm2"], stats["norm2"])
+    inv_conv(sd, f"{prefix}.se.fc1", params["se"]["fc1"])
+    inv_conv(sd, f"{prefix}.se.fc2", params["se"]["fc2"])
+    inv_conv(sd, f"{prefix}.conv3_1x1", params["conv3_1x1"])
+    if "shortcut_conv" in params:
+        inv_conv(sd, f"{prefix}.shortcut.conv", params["shortcut_conv"])
+
+
+def _inv_attention(sd, prefix, block_params, suffix):
+    from .export import inv_linear, inv_norm
+
+    inv_norm(sd, f"{prefix}.norm1", block_params[f"norm1_{suffix}"])
+    attn = block_params[f"attn_{suffix}"]
+    inv_linear(sd, f"{prefix}.attn.qkv", attn["qkv"])
+    inv_linear(sd, f"{prefix}.attn.proj", attn["proj"])
+    sd[f"{prefix}.attn.rel_pos.relative_position_bias_table"] = \
+        np.asarray(attn["rel_pos_table"]).copy()
+    inv_norm(sd, f"{prefix}.norm2", block_params[f"norm2_{suffix}"])
+    mlp = block_params[f"mlp_{suffix}"]
+    inv_linear(sd, f"{prefix}.mlp.fc1", mlp["fc1"])
+    inv_linear(sd, f"{prefix}.mlp.fc2", mlp["fc2"])
+
+
+def maxvit_backbone_to_torch(sd: dict, prefix: str, params, stats,
+                             model_kind: str) -> None:
+    from .export import inv_bn, inv_conv
+
+    spec = maxvit_spec(model_kind)
+    p = f"{prefix}." if prefix else ""
+    inv_conv(sd, f"{p}stem.conv1", params["stem_conv1"])
+    inv_bn(sd, f"{p}stem.norm1", params["stem_norm1"], stats["stem_norm1"])
+    inv_conv(sd, f"{p}stem.conv2", params["stem_conv2"])
+    for s, depth in enumerate(spec["depths"]):
+        for b in range(depth):
+            bp = f"{p}stages.{s}.blocks.{b}"
+            block = params[f"stage{s}_block{b}"]
+            bstats = stats[f"stage{s}_block{b}"]
+            _inv_mbconv(sd, f"{bp}.conv", block["mbconv"],
+                        bstats["mbconv"])
+            _inv_attention(sd, f"{bp}.attn_block", block, "block")
+            _inv_attention(sd, f"{bp}.attn_grid", block, "grid")
+
+
+def export_maxvit(config: Config, variables: Mapping) -> dict:
+    from .export import inv_linear
+
+    model_kind = config.get("model_kind", "maxvit_tiny_rw_224.sw_in1k")
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    sd: dict[str, Any] = {}
+    maxvit_backbone_to_torch(sd, "maxvit", p["backbone"], s["backbone"],
+                             model_kind)
+    inv_linear(sd, "maxvit.head.1", p["head"]["fc1"])
+    inv_linear(sd, "maxvit.head.3", p["head"]["fc2"])
+    inv_linear(sd, "maxvit.head.6", p["head"]["out"])
+    return sd
+
+
+def export_mm_maxvit(config: Config, variables: Mapping) -> dict:
+    from .export import _export_metadata_branch, inv_linear
+
+    model_kind = config.get("model_kind", "maxvit_tiny_rw_224.sw_in1k")
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    sd: dict[str, Any] = {}
+    maxvit_backbone_to_torch(sd, "maxvit_backbone", p["backbone"],
+                             s["backbone"], model_kind)
+    _export_metadata_branch(sd, "metadata_branch", p["metadata_branch"],
+                            s["metadata_branch"])
+    inv_linear(sd, "combined_head.0", p["combined_head"]["fc1"])
+    inv_linear(sd, "combined_head.2", p["combined_head"]["fc2"])
+    inv_linear(sd, "combined_head.5", p["combined_head"]["out"])
+    return sd

@@ -115,6 +115,82 @@ class _MetaFeatures(nn.Module):
         return x
 
 
+def _branch_subtrees(branch_name: str, params: dict, stats: dict):
+    """Map a trained standalone model's variable subtrees onto the fusion
+    branch layout (head-stripping per architectures.py:297-320)."""
+    if branch_name == "um_cnn":
+        return {"backbone": params["backbone"]}, {}
+    if branch_name == "ConvNeXt":
+        return ({"backbone": params["backbone"],
+                 "head_norm": params["head_norm"]}, {})
+    if branch_name == "MaxViT":
+        return ({"backbone": params["backbone"]},
+                {"backbone": stats["backbone"]} if "backbone" in stats else {})
+    if branch_name == "um_nn":
+        return ({"bn": params["branch"]["bn"],
+                 "fc1": params["branch"]["fc1"],
+                 "fc2": params["branch"]["fc2"]},
+                {"bn": stats["branch"]["bn"]})
+    raise ValueError(f"Model {branch_name} not supported as fusion branch")
+
+
+def load_fusion_branches(config: dict, fusion_variables: dict) -> dict:
+    """Populate a FrozenFusion variables tree with trained branch weights.
+
+    The reference loads each branch's ``best_model.pth`` through its own
+    class and strips heads in-place (architectures.py:322-354).  Here each
+    branch dir may hold either a btsbot-tpu checkpoint (``best/`` orbax dir)
+    or a reference torch checkpoint (``best_model.pth``); weights are
+    converted as needed and grafted into the ``image_branch``/``meta_branch``
+    subtrees.  Returns a new variables dict.
+    """
+    import copy
+
+    from ..core.config import normalize_config
+
+    cfg = resolve_fusion_config(config)
+    out = copy.deepcopy({k: dict(v) for k, v in fusion_variables.items()})
+
+    for branch_key, cfg_key, dir_key in (
+        ("image_branch", "image_model_config", "image_model_dir"),
+        ("meta_branch", "meta_model_config", "meta_model_dir"),
+    ):
+        branch_cfg = normalize_config(cfg[cfg_key])
+        model_dir = cfg[dir_key]
+        variables = _load_branch_checkpoint(branch_cfg, model_dir)
+        params, stats = _branch_subtrees(
+            branch_cfg["model_name"], variables["params"],
+            variables.get("batch_stats", {}))
+        out["params"][branch_key] = params
+        if stats:
+            out.setdefault("batch_stats", {})[branch_key] = stats
+    return out
+
+
+def _load_branch_checkpoint(branch_cfg, model_dir: str) -> dict:
+    import os
+
+    orbax_dir = os.path.join(model_dir, "best")
+    torch_path_new = os.path.join(model_dir, "best_model.pth")
+    if os.path.isdir(orbax_dir):
+        from ..engine.checkpoint import load_model_variables
+        from .factory import init_model
+
+        _, template = init_model(branch_cfg, rng=0)
+        return load_model_variables(
+            orbax_dir,
+            template={"params": template["params"],
+                      "batch_stats": template.get("batch_stats", {})})
+    if os.path.isfile(torch_path_new):
+        from ..interop.convert import torch_state_dict_to_variables
+        from ..interop.hf import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(torch_path_new)
+        return torch_state_dict_to_variables(branch_cfg, sd)
+    raise FileNotFoundError(
+        f"No checkpoint (best/ or best_model.pth) in {model_dir}")
+
+
 class FrozenFusion(nn.Module):
     config: dict
     dtype: Dtype = jnp.float32

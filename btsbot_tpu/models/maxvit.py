@@ -201,8 +201,11 @@ class MBConv(nn.Module):
                     name="conv1_1x1")(x)
         x = bn("norm1")(x)
         x = gelu_exact(x)
+        # explicit symmetric padding: torch Conv2d(padding=1) semantics —
+        # XLA "SAME" pads (0, 1) for stride 2 on even sizes, which shifts
+        # sampling positions vs the timm checkpoints
         x = nn.Conv(mid_chs, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", feature_group_count=mid_chs,
+                    padding=((1, 1), (1, 1)), feature_group_count=mid_chs,
                     use_bias=False, dtype=self.dtype, name="conv2_dw")(x)
         x = bn("norm2")(x)
         x = gelu_exact(x)
@@ -258,13 +261,16 @@ class MaxViTBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Conv(self.stem_width, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="stem_conv1")(x)
+        # explicit (1,1) padding: torch Conv2d(3, s=2, padding=1) semantics
+        x = nn.Conv(self.stem_width, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="stem_conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_norm1")(x)
         x = gelu_exact(x)
-        x = nn.Conv(self.stem_width, (3, 3), strides=(1, 1), padding="SAME",
-                    dtype=self.dtype, name="stem_conv2")(x)
+        x = nn.Conv(self.stem_width, (3, 3), strides=(1, 1),
+                    padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="stem_conv2")(x)
         for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             for b in range(depth):
                 x = MaxViTBlock(

@@ -1,0 +1,119 @@
+"""MaxViT parity: torch oracle (timm-maxxvit-style naming) vs the flax
+backbone, through the checkpoint converter, plus export round trips.
+
+Uses a reduced config (depths (1,1), dims (32,64), 64-native input, window
+2) so CPU runtime stays reasonable while covering every component: stem,
+stride-2 MBConv with shortcut, SE, window+grid rel-pos attention, resize,
+both head surgeries.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from btsbot_tpu import build_model, normalize_config, torch_state_dict_to_variables
+from btsbot_tpu.interop.export import variables_to_torch_state_dict
+from btsbot_tpu.models import maxvit as maxvit_mod
+from torch_maxvit_mirror import TorchMaxViTClassifier, TorchMmMaxViT
+from torch_mirrors import randomize_bn_stats
+
+META_COLS = [f"m{i}" for i in range(25)]
+
+TINY_SPEC = {"depths": (1, 1), "dims": (32, 64), "stem_width": 32}
+
+CFG = {
+    "model_kind": "maxvit_tiny_rw_64.test",   # native size 64, window 2
+    "train_data_version": "v12",
+    "metadata_cols": META_COLS,
+    "fc1_neurons": 16,
+    "fc2_neurons": 8,
+    "dropout": 0.3,
+    "meta_fc1_neurons": 16,
+    "meta_fc2_neurons": 16,
+    "meta_dropout": 0.25,
+    "comb_fc1_neurons": 8,
+    "comb_fc2_neurons": 8,
+    "comb_dropout": 0.2,
+}
+
+
+@pytest.fixture(autouse=True)
+def tiny_maxvit(monkeypatch):
+    monkeypatch.setitem(maxvit_mod.MAXVIT_CONFIGS, "maxvit_tiny", TINY_SPEC)
+    yield
+
+
+def _mirror_kwargs():
+    return dict(depths=TINY_SPEC["depths"], dims=TINY_SPEC["dims"],
+                stem_width=TINY_SPEC["stem_width"], window=2)
+
+
+def _rand_inputs(seed=0, n=2):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(n, 63, 63, 3)).astype(np.float32)
+    meta = rng.normal(size=(n, 25)).astype(np.float32)
+    return img, meta
+
+
+def _state_dict(oracle):
+    return {k: v.numpy() for k, v in oracle.state_dict().items()
+            if "num_batches_tracked" not in k}
+
+
+def test_maxvit_image_only_parity():
+    config = normalize_config({**CFG, "model_name": "MaxViT"})
+    torch.manual_seed(21)
+    oracle = TorchMaxViTClassifier(dict(config), image_size=64,
+                                   **_mirror_kwargs()).eval()
+    randomize_bn_stats(oracle, seed=4)
+    # non-trivial rel-pos tables
+    for name, p in oracle.named_parameters():
+        if "relative_position_bias_table" in name:
+            torch.nn.init.normal_(p, std=0.5)
+
+    img, _ = _rand_inputs()
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy())).numpy()
+
+    variables = torch_state_dict_to_variables(config, _state_dict(oracle))
+    model = build_model(config)
+    got = np.asarray(model.apply(variables, image_input=jnp.asarray(img),
+                                 train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_mm_maxvit_parity_and_roundtrip():
+    config = normalize_config({**CFG, "model_name": "mm_MaxViT"})
+    torch.manual_seed(22)
+    oracle = TorchMmMaxViT(dict(config), image_size=64,
+                           **_mirror_kwargs()).eval()
+    randomize_bn_stats(oracle, seed=5)
+    for name, p in oracle.named_parameters():
+        if "relative_position_bias_table" in name:
+            torch.nn.init.normal_(p, std=0.5)
+
+    img, meta = _rand_inputs(seed=1)
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()),
+            torch.from_numpy(meta)).numpy()
+
+    sd = _state_dict(oracle)
+    variables = torch_state_dict_to_variables(config, sd)
+    model = build_model(config)
+    got = np.asarray(model.apply(
+        variables, image_input=jnp.asarray(img),
+        metadata_input=jnp.asarray(meta), train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    # export round trip is the identity on every key (exporter additionally
+    # emits torch's num_batches_tracked counters)
+    sd2 = {k: v for k, v in
+           variables_to_torch_state_dict(config, variables).items()
+           if "num_batches_tracked" not in k}
+    assert set(sd2) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
