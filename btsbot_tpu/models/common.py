@@ -28,6 +28,17 @@ Dtype = Any
 
 
 def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """GELU matching ``torch.nn.GELU()`` to the working precision.
+
+    In float32 this is the exact erf form (bit-parity with torch's default).
+    In bfloat16 the tanh approximation is used instead: its deviation from
+    erf-GELU (≤3e-3 absolute) is below bf16 resolution (eps ≈ 7.8e-3), and
+    on TPU the tanh form fuses into the preceding matmul's epilogue while
+    XLA's erf costs a separate multi-pass VPU evaluation (~2.5× block-MLP
+    cost at BTSbot shapes — measured on v5e, see bench notes).
+    """
+    if x.dtype == jnp.bfloat16:
+        return nn.gelu(x, approximate=True)
     return nn.gelu(x, approximate=False)
 
 

@@ -1,0 +1,229 @@
+// Batched ZTF alert-stamp decoder: gunzip + FITS parse + pad, native.
+//
+// The serving ingest path must turn gzip-compressed FITS cutout blobs
+// (alert packets' stampData) into padded 63x63 float32 planes before the
+// batched on-device preprocessing kernel (btsbot_tpu.ops.preprocess) takes
+// over.  The reference does this per-image in Python
+// (/root/reference/btsbot/alert_utils.py:110-196: gzip.open + astropy
+// fits.open per cutout), which caps host throughput at a few thousand
+// cutouts/sec/core -- far below the TPU's scoring rate.  This translation
+// unit decodes a batch of blobs with zlib + a minimal FITS image parser
+// (the same subset as btsbot_tpu/data/fits.py: single HDU, BITPIX
+// 8/16/32/64/-32/-64, NAXIS<=2, BSCALE/BZERO, big-endian), multithreaded
+// across the batch.
+//
+// C ABI (used from Python via ctypes, see btsbot_tpu/native.py):
+//   int btsbot_decode_stamps(const uint8_t* const* blobs,
+//                            const int64_t* sizes, int64_t n,
+//                            int64_t out_size,      // e.g. 63
+//                            float pad_value,       // e.g. 1e-9f
+//                            float* out,            // n * out_size * out_size
+//                            int32_t* status,       // n entries, 0 = ok
+//                            int32_t num_threads);
+// status codes: 0 ok, 1 gunzip error, 2 FITS parse error, 3 oversize image.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int kBlock = 2880;
+constexpr int kCard = 80;
+
+// Inflate a gzip stream; returns false on failure.
+bool gunzip(const uint8_t* src, size_t src_len, std::vector<uint8_t>* out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(src_len);
+  out->clear();
+  out->resize(std::max<size_t>(src_len * 4, 1 << 14));
+  int ret = Z_OK;
+  while (true) {
+    zs.next_out = out->data() + zs.total_out;
+    zs.avail_out = static_cast<uInt>(out->size() - zs.total_out);
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret == Z_STREAM_END) break;
+    if (ret != Z_OK && ret != Z_BUF_ERROR) {
+      inflateEnd(&zs);
+      return false;
+    }
+    if (zs.avail_out == 0) {
+      out->resize(out->size() * 2);
+    } else if (ret == Z_BUF_ERROR) {
+      inflateEnd(&zs);
+      return false;
+    }
+  }
+  out->resize(zs.total_out);
+  inflateEnd(&zs);
+  return true;
+}
+
+struct FitsHeader {
+  int bitpix = 0;
+  int naxis = 0;
+  int64_t naxis1 = 0;
+  int64_t naxis2 = 0;
+  double bscale = 1.0;
+  double bzero = 0.0;
+  size_t data_offset = 0;
+};
+
+bool parse_long(const char* v, size_t len, double* out) {
+  char buf[72];
+  size_t m = std::min(len, sizeof(buf) - 1);
+  std::memcpy(buf, v, m);
+  buf[m] = 0;
+  char* end = nullptr;
+  *out = std::strtod(buf, &end);
+  return end != buf;
+}
+
+bool parse_header(const uint8_t* buf, size_t len, FitsHeader* h) {
+  size_t offset = 0;
+  while (offset + kBlock <= len) {
+    for (int i = 0; i < kBlock; i += kCard) {
+      const char* card = reinterpret_cast<const char*>(buf + offset + i);
+      if (std::strncmp(card, "END", 3) == 0 &&
+          (card[3] == ' ' || card[3] == 0)) {
+        h->data_offset = offset + kBlock;
+        return h->bitpix != 0;
+      }
+      if (card[8] != '=' || card[9] != ' ') continue;
+      double value = 0;
+      if (!parse_long(card + 10, kCard - 10, &value)) continue;
+      if (std::strncmp(card, "BITPIX  ", 8) == 0) h->bitpix = (int)value;
+      else if (std::strncmp(card, "NAXIS   ", 8) == 0) h->naxis = (int)value;
+      else if (std::strncmp(card, "NAXIS1  ", 8) == 0) h->naxis1 = (int64_t)value;
+      else if (std::strncmp(card, "NAXIS2  ", 8) == 0) h->naxis2 = (int64_t)value;
+      else if (std::strncmp(card, "BSCALE  ", 8) == 0) h->bscale = value;
+      else if (std::strncmp(card, "BZERO   ", 8) == 0) h->bzero = value;
+    }
+    offset += kBlock;
+  }
+  return false;
+}
+
+inline uint16_t bswap16(uint16_t v) { return __builtin_bswap16(v); }
+inline uint32_t bswap32(uint32_t v) { return __builtin_bswap32(v); }
+inline uint64_t bswap64(uint64_t v) { return __builtin_bswap64(v); }
+
+// Decode one stamp into out (out_size*out_size floats, row-major, padded
+// bottom/right with pad_value -- alert_utils.py:175-188 semantics).
+int decode_one(const uint8_t* blob, size_t blob_len, int64_t out_size,
+               float pad_value, float* out) {
+  std::vector<uint8_t> raw;
+  if (!gunzip(blob, blob_len, &raw)) return 1;
+
+  FitsHeader h;
+  if (!parse_header(raw.data(), raw.size(), &h)) return 2;
+  int64_t rows = h.naxis >= 2 ? h.naxis2 : 1;
+  int64_t cols = h.naxis >= 1 ? h.naxis1 : 0;
+  if (rows > out_size || cols > out_size || rows <= 0 || cols <= 0) return 3;
+
+  const uint8_t* data = raw.data() + h.data_offset;
+  size_t need = static_cast<size_t>(rows) * cols * (std::abs(h.bitpix) / 8);
+  if (h.data_offset + need > raw.size()) return 2;
+
+  const bool scaled = h.bscale != 1.0 || h.bzero != 0.0;
+  for (int64_t r = 0; r < out_size; ++r) {
+    float* orow = out + r * out_size;
+    if (r >= rows) {
+      std::fill(orow, orow + out_size, pad_value);
+      continue;
+    }
+    for (int64_t c = 0; c < out_size; ++c) {
+      if (c >= cols) {
+        orow[c] = pad_value;
+        continue;
+      }
+      size_t idx = static_cast<size_t>(r) * cols + c;
+      double v;
+      switch (h.bitpix) {
+        case -32: {
+          uint32_t u;
+          std::memcpy(&u, data + idx * 4, 4);
+          u = bswap32(u);
+          float f;
+          std::memcpy(&f, &u, 4);
+          v = f;
+          break;
+        }
+        case -64: {
+          uint64_t u;
+          std::memcpy(&u, data + idx * 8, 8);
+          u = bswap64(u);
+          double d;
+          std::memcpy(&d, &u, 8);
+          v = d;
+          break;
+        }
+        case 16: {
+          uint16_t u;
+          std::memcpy(&u, data + idx * 2, 2);
+          v = static_cast<int16_t>(bswap16(u));
+          break;
+        }
+        case 32: {
+          uint32_t u;
+          std::memcpy(&u, data + idx * 4, 4);
+          v = static_cast<int32_t>(bswap32(u));
+          break;
+        }
+        case 8:
+          v = data[idx];
+          break;
+        default:
+          return 2;
+      }
+      if (scaled) v = v * h.bscale + h.bzero;
+      orow[c] = static_cast<float>(v);
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" int btsbot_decode_stamps(const uint8_t* const* blobs,
+                                    const int64_t* sizes, int64_t n,
+                                    int64_t out_size, float pad_value,
+                                    float* out, int32_t* status,
+                                    int32_t num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int32_t>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 1;
+  }
+  num_threads = std::min<int64_t>(num_threads, n > 0 ? n : 1);
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = decode_one(blobs[i], static_cast<size_t>(sizes[i]),
+                             out_size, pad_value,
+                             out + i * out_size * out_size);
+    }
+  };
+  if (num_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve(num_threads);
+    for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+
+  int rc = 0;
+  for (int64_t i = 0; i < n; ++i) rc |= (status[i] != 0);
+  return rc;
+}

@@ -1,0 +1,52 @@
+"""Native (C++) stamp decoder: parity vs the Python path, error statuses,
+and the ctypes batch interface."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from btsbot_tpu.data.fits import write_fits_image
+from btsbot_tpu.native import decode_stamps, native_available
+
+
+def _blob(data: np.ndarray) -> bytes:
+    return gzip.compress(write_fits_image(data))
+
+
+def test_decode_batch_parity():
+    rng = np.random.default_rng(0)
+    blobs = []
+    expected = []
+    for i in range(50):
+        size = 63 if i % 4 else 58
+        dtype = [np.float32, np.float64, np.int16][i % 3]
+        data = (rng.normal(size=(size, size)) * 100).astype(dtype)
+        blobs.append(_blob(data))
+        pad = np.full((63, 63), 1e-9, np.float32)
+        pad[:size, :size] = data.astype(np.float32)
+        expected.append(pad)
+    out, status = decode_stamps(blobs)
+    assert (status == 0).all()
+    np.testing.assert_allclose(out, np.stack(expected), rtol=1e-6)
+
+
+def test_decode_error_statuses():
+    good = _blob(np.ones((63, 63), np.float32))
+    bad_gzip = b"not gzip at all"
+    bad_fits = gzip.compress(b"NOTFITS " * 400)
+    oversize = _blob(np.ones((80, 80), np.float32))
+    out, status = decode_stamps([good, bad_gzip, bad_fits, oversize])
+    assert status[0] == 0
+    assert status[1] != 0
+    assert status[2] != 0
+    assert status[3] == 3
+    np.testing.assert_allclose(out[0], 1.0)
+
+
+@pytest.mark.skipif(not native_available(),
+                    reason="native library not built (no toolchain)")
+def test_native_library_loaded():
+    # On CI hosts with a toolchain the native path must actually be in use.
+    from btsbot_tpu.native import load_library
+    assert load_library() is not None
