@@ -21,6 +21,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -28,11 +29,15 @@ from .state import TrainState
 
 
 def _to_saveable(state: TrainState) -> dict:
+    # opt_state is an optax NamedTuple tree whose structure cannot be
+    # reconstructed from a bare checkpoint restore; store its leaves indexed
+    # and unflatten against the live template's treedef on restore.
+    opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
     return {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
+        "opt_leaves": {str(i): leaf for i, leaf in enumerate(opt_leaves)},
         "rng": jax.random.key_data(state.rng),
     }
 
@@ -45,17 +50,35 @@ def save_train_state(ckpt_dir: str, state: TrainState, extra: dict) -> None:
         json.dump(extra, f, default=lambda x: np.asarray(x).tolist())
 
 
+def _restore_numpy(path: str) -> dict:
+    """Restore a checkpoint tree as host numpy arrays.
+
+    Restoring without explicit RestoreArgs resolves shardings from the file,
+    which fails when the checkpoint was written on a different
+    platform/topology (e.g. saved via the TPU relay, restored on CPU).
+    Structure comes from the checkpoint's own metadata, so no template is
+    needed.
+    """
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(path, restore_args=restore_args)
+
+
 def restore_train_state(ckpt_dir: str, template: TrainState
                         ) -> tuple[TrainState, dict]:
     path = os.path.abspath(ckpt_dir)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=_to_saveable(template))
+    restored = _restore_numpy(path)
+    opt_leaves = [restored["opt_leaves"][str(i)]
+                  for i in range(len(restored["opt_leaves"]))]
+    treedef = jax.tree_util.tree_structure(template.opt_state)
     state = template.replace(
-        step=restored["step"],
+        step=jnp.asarray(restored["step"]),
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=restored["opt_state"],
-        rng=jax.random.wrap_key_data(restored["rng"]),
+        opt_state=jax.tree_util.tree_unflatten(treedef, opt_leaves),
+        rng=jax.random.wrap_key_data(jnp.asarray(restored["rng"])),
     )
     with open(os.path.join(path, "loop_meta.json"), "r") as f:
         extra = json.load(f)
@@ -70,9 +93,12 @@ def save_model_variables(ckpt_dir: str, params: Any, batch_stats: Any) -> None:
 
 
 def load_model_variables(ckpt_dir: str, template: dict | None = None) -> dict:
-    path = os.path.abspath(ckpt_dir)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=template)
+    """Load a best/-style checkpoint.  ``template`` is accepted for API
+    compatibility but the tree structure comes from the checkpoint itself
+    (restore-with-template trips orbax sharding resolution on some
+    platforms/relay setups)."""
+    del template
+    restored = _restore_numpy(os.path.abspath(ckpt_dir))
     variables = {"params": restored["params"]}
     if restored.get("batch_stats"):
         variables["batch_stats"] = restored["batch_stats"]

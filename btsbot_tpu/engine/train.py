@@ -38,6 +38,7 @@ from ..parallel.mesh import batch_sharding
 from ..parallel.sharding import shard_variables
 from .checkpoint import restore_train_state, save_model_variables, save_train_state
 from .eval import evaluate
+from .schedule import lr_at_epoch
 from .state import create_train_state, make_optimizer
 from .steps import make_train_step
 
@@ -55,6 +56,7 @@ def run_training(
     resume: bool = False,
     log: Callable[[str], None] = print,
     epoch_callback: Callable[[int, dict], None] | None = None,
+    logger=None,
 ) -> dict[str, Any]:
     config = normalize_config(config)
     seed = int(config.get("random_seed", 0))
@@ -185,13 +187,20 @@ def run_training(
                 log("  triggered early stopping")
                 break
 
+        epoch_metrics = {
+            "epoch": epoch,
+            "train_loss": epoch_train_loss,
+            "train_accuracy": epoch_train_acc,
+            "val_loss": val_loss,
+            "val_accuracy": val_acc,
+            "learning_rate": float(lr_at_epoch(
+                epoch, float(config["learning_rate"]), epochs,
+                int(config.get("warmup_epochs", 0)))),
+        }
+        if logger is not None:
+            logger.log(epoch_metrics, step=epoch)
         if epoch_callback is not None:
-            epoch_callback(epoch, {
-                "train_loss": epoch_train_loss,
-                "train_accuracy": epoch_train_acc,
-                "val_loss": val_loss,
-                "val_accuracy": val_acc,
-            })
+            epoch_callback(epoch, epoch_metrics)
 
     if best_raw_preds is None:  # no epoch improved (resume edge): use last
         best_raw_preds = val_raw_preds
@@ -236,6 +245,15 @@ def run_training(
 
     make_report(config, os.path.join(model_dir, "report.json"), run_data,
                 summaries["val"])
+
+    if logger is not None:
+        from ..utils.logging import summary_from_diagnostics
+        flat: dict[str, Any] = {}
+        for split, summary in summaries.items():
+            if "policy_performance" in summary or "roc_auc" in summary:
+                flat.update(summary_from_diagnostics(
+                    summary, prefix="" if split == "val" else f"{split}_"))
+        logger.set_summary(flat)
 
     log(f"Best val loss: {np.min(val_losses[:final_epoch + 1]):.5f}  "
         f"best val acc: {np.max(val_accs[:final_epoch + 1]):.5f}")
