@@ -105,6 +105,42 @@ def load_split(
                         candidates=cand)
 
 
+def filter_dataset(dataset: AlertDataset, mask: np.ndarray) -> AlertDataset:
+    """Row-subset an AlertDataset (mask: (N,) bool), keeping cand aligned."""
+    mask = np.asarray(mask, dtype=bool)
+    cand = dataset.candidates
+    if cand is not None:
+        cand = cand[mask].reset_index(drop=True)
+    return AlertDataset(
+        labels=dataset.labels[mask],
+        images=None if dataset.images is None else dataset.images[mask],
+        metadata=None if dataset.metadata is None else dataset.metadata[mask],
+        candidates=cand,
+    )
+
+
+def apply_val_cuts(dataset: AlertDataset, config) -> AlertDataset:
+    """Honor the ``val_sne_only`` / ``val_keep_near_threshold`` /
+    ``val_rise_only`` config flags (present in reference configs,
+    prod_config.json:63-65, but dead in the torch trainer — SURVEY.md §2).
+    Requires the is_SN/near_threshold/is_rise columns from the split engine;
+    flags referencing absent columns are ignored."""
+    cand = dataset.candidates
+    if cand is None:
+        return dataset
+    mask = np.ones(len(dataset), dtype=bool)
+    if config.get("val_sne_only") and "is_SN" in cand:
+        mask &= cand["is_SN"].to_numpy().astype(bool)
+    if (not config.get("val_keep_near_threshold", True)
+            and "near_threshold" in cand):
+        mask &= ~cand["near_threshold"].to_numpy().astype(bool)
+    if config.get("val_rise_only") and "is_rise" in cand:
+        mask &= cand["is_rise"].to_numpy().astype(bool)
+    if mask.all():
+        return dataset
+    return filter_dataset(dataset, mask)
+
+
 def iterate_batches(
     dataset: AlertDataset,
     batch_size: int,

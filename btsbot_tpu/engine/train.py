@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import normalize_config
-from ..data.dataset import AlertDataset, iterate_batches, load_split
+from ..data.dataset import (
+    AlertDataset,
+    apply_val_cuts,
+    iterate_batches,
+    load_split,
+)
 from ..metrics.diagnostics import diagnostic_summary
 from ..metrics.report import make_report
 from ..models.factory import init_model
@@ -66,6 +71,7 @@ def run_training(
         train_ds = load_split(config, "train", data_dir)
     if val_ds is None:
         val_ds = load_split(config, "val", data_dir)
+    val_ds = apply_val_cuts(val_ds, config)
     if config.get("use_test_split", False) and test_ds is None:
         test_ds = load_split(config, "test", data_dir)
 
@@ -254,6 +260,28 @@ def run_training(
                 flat.update(summary_from_diagnostics(
                     summary, prefix="" if split == "val" else f"{split}_"))
         logger.set_summary(flat)
+
+    # optional penultimate-layer embeddings (the reference reads this flag
+    # but its generator module is missing from the package — train.py:449-469)
+    if config.get("generate_embeddings", False):
+        try:
+            from ..metrics.embeddings import generate_embeddings
+
+            emb_ds = test_ds if test_ds is not None else val_ds
+            candids = (emb_ds.candidates["candid"].to_numpy()
+                       if emb_ds.candidates is not None
+                       and "candid" in emb_ds.candidates
+                       else None)
+            emb = generate_embeddings(
+                model, config, state.params, state.batch_stats, emb_ds,
+                candids=candids, seed=seed)
+            import pandas as pd
+            pd.DataFrame(emb, columns=["umap_emb_1", "umap_emb_2", "candid"]
+                         ).to_csv(os.path.join(model_dir, "embeddings.csv"),
+                                  index=False)
+            log(f"Wrote embeddings for {len(emb)} alerts")
+        except Exception as e:  # noqa: BLE001 — mirror reference's guard
+            log(f"Error generating embeddings: {e}; skipping.")
 
     log(f"Best val loss: {np.min(val_losses[:final_epoch + 1]):.5f}  "
         f"best val acc: {np.max(val_accs[:final_epoch + 1]):.5f}")

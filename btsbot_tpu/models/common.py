@@ -88,6 +88,7 @@ class CombinedHead(nn.Module):
         x = nn.Dense(self.fc2, dtype=self.dtype, name="fc2")(x)
         x = act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        self.sow("intermediates", "penultimate", x)
         x = nn.Dense(1, dtype=self.dtype, name="out")(x)
         return x
 
@@ -109,5 +110,6 @@ class ImageHead(nn.Module):
         x = nn.Dense(self.fc2, dtype=self.dtype, name="fc2")(x)
         x = act(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        self.sow("intermediates", "penultimate", x)
         x = nn.Dense(1, dtype=self.dtype, name="out")(x)
         return x

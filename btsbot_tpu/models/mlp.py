@@ -28,4 +28,5 @@ class UmNN(nn.Module):
             dtype=self.dtype,
             name="branch",
         )(metadata_input, train=train)
+        self.sow("intermediates", "penultimate", x)
         return nn.Dense(1, dtype=self.dtype, name="out")(x)
