@@ -115,6 +115,59 @@ class AlertScorer:
         return self.batch_size * iters / dt
 
 
+class AlertStreamScorer:
+    """Raw-packet serving: gzip FITS cutout blobs → score, end to end.
+
+    Chains the native batched stamp decoder (btsbot_tpu.native), the fused
+    on-device ingest (NaN-clean + per-cutout L2 norm + corrupt detection),
+    and the batched model forward — the full production path from an alert
+    broker's packet stream to BTS scores (replacing the reference's
+    make_triplet → DataLoader → model chain, alert_utils.py:110-196 +
+    inference_example.py:47-95).
+    """
+
+    def __init__(self, config, variables, batch_size: int = 2048,
+                 dtype=jnp.bfloat16, num_threads: int = 0):
+        self.scorer = AlertScorer(config, variables, batch_size=batch_size,
+                                  dtype=dtype, normalize=True)
+        self.num_threads = num_threads
+
+    def __call__(self, packets: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+        """packets: alert dicts with cutout{Science,Template,Difference}
+        stampData blobs and (for multi-modal models) a ``candidate`` dict
+        carrying the configured metadata columns.
+
+        Returns (scores (N,), drop_mask (N,)) — scores are NaN where the
+        alert was dropped as corrupt/undecodable.
+        """
+        from ..native import decode_stamps
+        from ..ops.preprocess import corrupt_mask
+
+        config = self.scorer.config
+        n = len(packets)
+        blobs: list[bytes] = []
+        for p in packets:
+            for key in ("cutoutScience", "cutoutTemplate",
+                        "cutoutDifference"):
+                blobs.append(p[key]["stampData"])
+        stamps, status = decode_stamps(blobs, num_threads=self.num_threads)
+        triplets = stamps.reshape(n, 3, 63, 63).transpose(0, 2, 3, 1)
+        decode_bad = status.reshape(n, 3).any(axis=1)
+
+        drop = np.asarray(corrupt_mask(jnp.asarray(triplets))) | decode_bad
+
+        metadata = None
+        if config.need_metadata:
+            cols = config["metadata_cols"]
+            metadata = np.asarray(
+                [[float(p["candidate"].get(c, 0.0)) for c in cols]
+                 for p in packets], dtype=np.float32)
+
+        scores = self.scorer(triplets, metadata)
+        scores = np.where(drop, np.nan, scores)
+        return scores, drop
+
+
 def verify_serving_parity(config, variables, triplets=None, metadata=None,
                           rtol: float = 1e-2, atol: float = 5e-3) -> dict:
     """Compare the bf16 serving graph against the f32 reference graph

@@ -84,7 +84,10 @@ def run_training(
         f"pos_weight: {pos_weight:.3f}")
 
     # /---------------- model / optimizer ----------------/
-    model, variables = init_model(config, rng=seed)
+    # compute_dtype "bfloat16" enables mixed precision: params/optimizer
+    # state stay f32, layer compute runs bf16, loss/grads accumulate f32.
+    compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+    model, variables = init_model(config, rng=seed, dtype=compute_dtype)
     tx = make_optimizer(config, steps_per_epoch)
     state = create_train_state(config, variables, tx, seed=seed)
 
