@@ -25,6 +25,20 @@ from .models.factory import MODEL_REGISTRY, build_model, init_model
 from .interop.convert import torch_state_dict_to_variables
 from .interop.hf import download_HF_model, load_HF_model
 
+
+def __getattr__(name):
+    # Heavier surfaces load lazily so `import btsbot_tpu` stays light.
+    if name in ("AlertScorer", "AlertStreamScorer"):
+        from .engine import serve
+        return getattr(serve, name)
+    if name == "run_training":
+        from .engine.train import run_training
+        return run_training
+    if name == "AlertDataset":
+        from .data.dataset import AlertDataset
+        return AlertDataset
+    raise AttributeError(name)
+
 __all__ = [
     "__version__",
     "Config",
@@ -39,4 +53,8 @@ __all__ = [
     "torch_state_dict_to_variables",
     "download_HF_model",
     "load_HF_model",
+    "AlertScorer",
+    "AlertStreamScorer",
+    "run_training",
+    "AlertDataset",
 ]

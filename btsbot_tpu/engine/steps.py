@@ -80,6 +80,42 @@ def make_train_step(model, tx, config):
     return train_step
 
 
+def make_device_train_step(model, tx, config, images, metadata, labels):
+    """Train step over a device-resident dataset, batched by index.
+
+    The whole training set is uploaded once (BTS-scale sets are a few GB —
+    well within one chip's HBM) and each step gathers its shuffled batch
+    with ``jnp.take`` on device; the host only ships a (batch,) int32 index
+    array per step.  This removes the per-batch host→device image transfer
+    entirely — the TPU-idiomatic replacement for DataLoader worker
+    pipelines (reference train.py:201-209), and essential when the host link
+    is high-latency (remote-relay setups).
+    """
+    base = make_train_step(model, tx, config)
+    need_triplets = config.need_triplets
+    need_metadata = config.need_metadata
+
+    @jax.jit
+    def device_train_step(state: TrainState, idx, pos_weight):
+        img = jnp.take(images, idx, axis=0) if need_triplets else None
+        meta = jnp.take(metadata, idx, axis=0) if need_metadata else None
+        lab = jnp.take(labels, idx, axis=0)
+        return base(state, img, meta, lab, pos_weight)
+
+    return device_train_step
+
+
+def put_dataset_on_device(dataset, sharding=None):
+    """(images, metadata, labels) jnp arrays resident on device."""
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else \
+            jax.device_put(x)
+    return (put(dataset.images), put(dataset.metadata), put(dataset.labels))
+
+
 def make_eval_step(model, config):
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata

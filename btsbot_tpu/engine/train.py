@@ -100,7 +100,17 @@ def run_training(
         )
         data_shard = batch_sharding(mesh)
 
-    train_step = make_train_step(model, tx, config)
+    # Device-resident data path: upload the train set once, gather batches
+    # on device by index (config "device_data"; single-mesh-axis only —
+    # under a data-sharded mesh, host batching already ships shards).
+    device_data = bool(config.get("device_data", False)) and mesh is None
+    if device_data:
+        from .steps import make_device_train_step, put_dataset_on_device
+        dev_images, dev_metadata, dev_labels = put_dataset_on_device(train_ds)
+        train_step = make_device_train_step(
+            model, tx, config, dev_images, dev_metadata, dev_labels)
+    else:
+        train_step = make_train_step(model, tx, config)
 
     run_model_name = (f"{config['model_name']}_{config['train_data_version']}"
                       f"_N{config.get('N_max', 100)}_tpu")
@@ -146,15 +156,29 @@ def run_training(
         losses = []
         correct = 0
         seen = 0
-        for images, metadata, labels in iterate_batches(
-                train_ds, batch_size, shuffle=True, drop_last=True,
-                seed=seed + epoch):
-            state, m = train_step(state, put(images), put(metadata),
-                                  put(labels), pos_weight_dev)
-            losses.append(m["loss"])
-            scores = np.asarray(m["scores"])
-            correct += int(np.sum((scores > 0.5) == (labels > 0.5)))
-            seen += labels.size
+        if device_data:
+            order = np.arange(len(train_ds))
+            np.random.default_rng(seed + epoch).shuffle(order)
+            n_steps = len(train_ds) // batch_size
+            for b in range(n_steps):
+                idx = jnp.asarray(
+                    order[b * batch_size:(b + 1) * batch_size], jnp.int32)
+                labels = train_ds.labels[np.asarray(idx)]
+                state, m = train_step(state, idx, pos_weight_dev)
+                losses.append(m["loss"])
+                scores = np.asarray(m["scores"])
+                correct += int(np.sum((scores > 0.5) == (labels > 0.5)))
+                seen += labels.size
+        else:
+            for images, metadata, labels in iterate_batches(
+                    train_ds, batch_size, shuffle=True, drop_last=True,
+                    seed=seed + epoch):
+                state, m = train_step(state, put(images), put(metadata),
+                                      put(labels), pos_weight_dev)
+                losses.append(m["loss"])
+                scores = np.asarray(m["scores"])
+                correct += int(np.sum((scores > 0.5) == (labels > 0.5)))
+                seen += labels.size
         epoch_train_loss = float(np.mean([float(x) for x in losses]))
         epoch_train_acc = correct / max(1, seen)
         train_losses[epoch] = epoch_train_loss

@@ -209,3 +209,21 @@ def test_alert_scorer_padding_and_parity():
 
     parity = verify_serving_parity(config, variables, ds.images, ds.metadata)
     assert parity["close"], parity
+
+
+def test_device_data_path_matches_host_path(tmp_path):
+    config_host = normalize_config({**SMALL_CFG, "epochs": 2})
+    config_dev = normalize_config({**SMALL_CFG, "epochs": 2,
+                                   "device_data": True})
+    train_ds = synthetic_dataset(128, seed=0)
+    val_ds = synthetic_dataset(64, seed=1)
+    kwargs = dict(train_ds=train_ds, val_ds=val_ds, make_figure=False,
+                  log=lambda *_: None)
+    r1 = run_training(config_host, run_name="h", out_root=str(tmp_path / "h"),
+                      **kwargs)
+    r2 = run_training(config_dev, run_name="d", out_root=str(tmp_path / "d"),
+                      **kwargs)
+    np.testing.assert_allclose(r1["history"]["train_loss"],
+                               r2["history"]["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(r1["history"]["val_loss"],
+                               r2["history"]["val_loss"], rtol=1e-5)
