@@ -24,7 +24,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import CombinedHead, ImageHead, MetadataBranch
+from .common import CombinedHead, ImageHead, MetadataBranch, check_inputs
 
 Dtype = Any
 
@@ -83,6 +83,7 @@ class MmCnn(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("mm_cnn", image_input, metadata_input)
         conv_features = _backbone_from_config(self.config, self.dtype)(
             image_input, train=train)
         meta_features = MetadataBranch(
@@ -113,6 +114,7 @@ class UmCnn(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("um_cnn", image_input, metadata_input)
         features = _backbone_from_config(self.config, self.dtype)(
             image_input, train=train)
         return ImageHead(

@@ -48,6 +48,24 @@ ACTIVATIONS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 }
 
 
+def check_inputs(model_name: str, image_input, metadata_input) -> None:
+    """Friendly modality validation — a clear error instead of a deep flax
+    NoneType failure when a required input is missing."""
+    from ..core.config import (
+        IMAGE_ONLY_MODELS,
+        METADATA_ONLY_MODELS,
+        MULTIMODAL_MODELS,
+    )
+
+    if model_name in IMAGE_ONLY_MODELS + MULTIMODAL_MODELS \
+            and image_input is None:
+        raise ValueError(
+            f"{model_name} requires image_input (NHWC triplets)")
+    if model_name in METADATA_ONLY_MODELS + MULTIMODAL_MODELS \
+            and metadata_input is None:
+        raise ValueError(f"{model_name} requires metadata_input")
+
+
 class MetadataBranch(nn.Module):
     fc1: int
     fc2: int

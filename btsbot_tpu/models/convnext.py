@@ -37,7 +37,13 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import CombinedHead, ImageHead, MetadataBranch, gelu_exact
+from .common import (
+    CombinedHead,
+    ImageHead,
+    MetadataBranch,
+    check_inputs,
+    gelu_exact,
+)
 
 Dtype = Any
 
@@ -148,6 +154,7 @@ class ConvNeXtClassifier(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("ConvNeXt", image_input, metadata_input)
         x = _backbone_from_config(self.config, self.dtype)(image_input)
         x = global_avg_pool(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="head_norm")(x)
@@ -170,6 +177,7 @@ class MmConvNeXt(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("mm_ConvNeXt", image_input, metadata_input)
         x = _backbone_from_config(self.config, self.dtype)(image_input)
         if "LS" in self.config.get("train_data_version", ""):
             # pool + norm + flatten head variant (architectures.py:137-141)

@@ -45,6 +45,9 @@ def build_model(config, dtype=jnp.float32):
     return cls(config=dict(config), dtype=dtype)
 
 
+from .common import check_inputs  # noqa: E402, F401 — re-export
+
+
 def example_inputs(config, batch_size: int = 1, dtype=jnp.float32):
     """Dummy (image, metadata) inputs matching the config's modality."""
     if not isinstance(config, Config):

@@ -198,6 +198,8 @@ class FrozenFusion(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        from .common import check_inputs
+        check_inputs("frozen_fusion", image_input, metadata_input)
         cfg = resolve_fusion_config(self.config)
         img = _ImageFeatures(cfg["image_model_config"], dtype=self.dtype,
                              name="image_branch")(image_input, train=train)

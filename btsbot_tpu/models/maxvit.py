@@ -35,7 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.resize import resize_bilinear
-from .common import CombinedHead, ImageHead, MetadataBranch, gelu_exact
+from .common import (
+    CombinedHead,
+    ImageHead,
+    MetadataBranch,
+    check_inputs,
+    gelu_exact,
+)
 
 Dtype = Any
 
@@ -304,6 +310,7 @@ class MaxViTClassifier(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("MaxViT", image_input, metadata_input)
         backbone, size = _backbone_and_size(self.config, self.dtype)
         x = resize_bilinear(image_input, size)
         x = backbone(x, train=train)
@@ -327,6 +334,7 @@ class MmMaxViT(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("mm_MaxViT", image_input, metadata_input)
         backbone, size = _backbone_and_size(self.config, self.dtype)
         x = resize_bilinear(image_input, size)
         x = backbone(x, train=train)

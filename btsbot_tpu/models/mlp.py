@@ -8,7 +8,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .common import MetadataBranch
+from .common import MetadataBranch, check_inputs
 
 Dtype = Any
 
@@ -20,6 +20,7 @@ class UmNN(nn.Module):
     @nn.compact
     def __call__(self, image_input=None, metadata_input=None,
                  train: bool = False) -> jnp.ndarray:
+        check_inputs("um_nn", image_input, metadata_input)
         x = MetadataBranch(
             fc1=self.config["meta_fc1_neurons"],
             fc2=self.config["meta_fc2_neurons"],
