@@ -35,3 +35,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host setup: one call per host before any jax use.
+
+    On TPU pods with standard environment variables, bare
+    ``jax.distributed.initialize()`` auto-discovers the topology; arguments
+    are for manual (e.g. GPU/DCN) setups.  After this, ``make_mesh`` sees
+    every chip in the slice and the data axis spans hosts — batches are fed
+    per-host (each host supplies its local shard of the global batch) and
+    XLA routes gradient collectives over ICI within a slice and DCN across
+    slices.  The BTSbot workload is batch-parallel only (SURVEY.md §5), so
+    no cross-host model sharding is configured by default.
+    """
+    import jax as _jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    _jax.distributed.initialize(**kwargs)
