@@ -1,0 +1,241 @@
+"""Fused LayerNorm + MLP + layer-scale + residual kernel (Pallas / TPU).
+
+Hypothesis: XLA cannot fuse across two matmuls, so a ConvNeXt block
+materializes the 4×-expanded MLP intermediate in HBM; keeping a row tile
+resident in VMEM through LN → Dense(4C) → GELU → Dense(C) → γ·(+residual)
+should remove that traffic.  Gradients are supported via a custom VJP that
+recomputes the reference math; ``fast_mm_convnext_logits`` composes a full
+flax-free mm_ConvNeXt forward on top.
+
+STATUS — measured on TPU v5e (bf16, stage-0 shapes M=921600, C=64): the
+fused kernel runs at 5.3 ms vs 2.2 ms for XLA's unfused LN+matmul+GELU+
+matmul sequence, and the full fast path at 31 ms vs 12 ms for the flax/XLA
+model.  XLA's epilogue fusion already absorbs the LN/bias/GELU passes, its
+K=64 matmul scheduling beats Mosaic's here, and the expanded intermediate
+is evidently not the binding constraint.  Together with the full-block
+kernel result (pallas_convnext.py), the conclusion for BTSbot-scale models
+is that XLA's native lowering is at or near the floor — both kernels are
+kept as correct, tested, honestly-documented baselines for future kernel
+work (e.g. int8 MXU paths), NOT wired into serving.
+
+Numerical parity with the flax model is at bf16 resolution (max logit diff
+~4e-3 over 4096 alerts) and exact in f32 interpret mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 6 * 1024 * 1024  # per-program working set target (bytes)
+
+
+def _row_tile(c: int, itemsize: int) -> int:
+    """Rows per program: the (tile, 4C) intermediate dominates VMEM (bf16
+    copy + f32 matmul accumulator ≈ 6 bytes/element at bf16)."""
+    per_row = 4 * c * (itemsize + 4) + 2 * c * itemsize
+    tile = max(256, _VMEM_BUDGET // per_row)
+    return (tile // 8) * 8
+
+
+def _mlp_reference(h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2, gamma):
+    """Pure-jnp reference: LN → fc1 → GELU → fc2 → γ + residual (2-D)."""
+    dtype = h.dtype
+    mu = jnp.mean(h.astype(jnp.float32), axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h.astype(jnp.float32) - mu), axis=-1,
+                   keepdims=True)
+    x = ((h.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-6))
+    x = x.astype(dtype) * ln_scale + ln_bias
+    x = jnp.dot(x, w1, preferred_element_type=jnp.float32).astype(dtype) + b1
+    x = jax.nn.gelu(x, approximate=(dtype == jnp.bfloat16))
+    x = jnp.dot(x, w2, preferred_element_type=jnp.float32).astype(dtype) + b2
+    return shortcut + x * gamma
+
+
+def _kernel(h_ref, res_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+            b2_ref, gamma_ref, out_ref):
+    h = h_ref[:]
+    dtype = h.dtype
+    mu = jnp.mean(h.astype(jnp.float32), axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(h.astype(jnp.float32) - mu), axis=-1,
+                   keepdims=True)
+    x = (h.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-6)
+    x = x.astype(dtype) * lns_ref[:] + lnb_ref[:]
+    x = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
+    x = x.astype(dtype) + b1_ref[:]
+    x = jax.nn.gelu(x, approximate=(dtype == jnp.bfloat16))
+    x = jnp.dot(x, w2_ref[:], preferred_element_type=jnp.float32)
+    x = x.astype(dtype) + b2_ref[:]
+    out_ref[:] = res_ref[:] + x * gamma_ref[:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_ln_mlp(h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                 interpret=False):
+    """(M, C) fused LN→MLP→γ+residual.  h: dwconv output; shortcut: block
+    input.  Returns (M, C)."""
+    return _fused_forward(h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2,
+                          gamma, interpret)
+
+
+def _fused_forward(h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                   interpret=False):
+    m, c = h.shape
+    dtype = h.dtype
+    tile = min(_row_tile(c, h.dtype.itemsize), m)
+    pad = (-m) % tile
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        shortcut = jnp.pad(shortcut, ((0, pad), (0, 0)))
+    mp = m + pad
+
+    args = [a.astype(dtype) for a in
+            (ln_scale, ln_bias, w1, b1, w2, b2, gamma)]
+    hidden = w1.shape[-1]
+    out = pl.pallas_call(
+        _kernel,
+        grid=(mp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, c), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * c * hidden * 2,
+            bytes_accessed=3 * mp * c * h.dtype.itemsize,
+            transcendentals=mp * hidden,
+        ),
+        interpret=interpret,
+    )(h, shortcut, *args)
+    return out[:m] if pad else out
+
+
+def _fwd(h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+         interpret=False):
+    out = _fused_forward(h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2,
+                         gamma, interpret)
+    return out, (h, shortcut, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+
+
+def _bwd(interpret, residuals, g):
+    _, vjp = jax.vjp(_mlp_reference, *residuals)
+    return vjp(g)
+
+
+fused_ln_mlp.defvjp(_fwd, _bwd)
+
+
+# --------------------- fast ConvNeXt forward (serving) ---------------------
+
+def _dwconv(x, params, dtype):
+    c = x.shape[-1]
+    out = jax.lax.conv_general_dilated(
+        x, params["kernel"].astype(dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        preferred_element_type=jnp.float32).astype(dtype)
+    return out + params["bias"].astype(dtype)
+
+
+def _layernorm(x, params, dtype):
+    mu = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x.astype(jnp.float32) - mu), axis=-1,
+                   keepdims=True)
+    x = ((x.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-6))
+    return x.astype(dtype) * params["scale"].astype(dtype) \
+        + params["bias"].astype(dtype)
+
+
+def fast_convnext_block(params, x, interpret=False):
+    """One ConvNeXt block from its flax param subtree: XLA dwconv + fused
+    LN/MLP kernel.  Matches models.convnext.ConvNeXtBlock to working
+    precision."""
+    dtype = x.dtype
+    b, hgt, wid, c = x.shape
+    h = _dwconv(x, params["conv_dw"], dtype)
+    out2d = fused_ln_mlp(
+        h.reshape(-1, c), x.reshape(-1, c),
+        params["norm"]["scale"], params["norm"]["bias"],
+        params["mlp_fc1"]["kernel"], params["mlp_fc1"]["bias"],
+        params["mlp_fc2"]["kernel"], params["mlp_fc2"]["bias"],
+        params["gamma"], interpret)
+    return out2d.reshape(b, hgt, wid, c)
+
+
+def fast_convnext_backbone(params, x, depths, interpret=False):
+    """Backbone forward from a flax ConvNeXtBackbone param tree (NHWC)."""
+    dtype = x.dtype
+    x = jax.lax.conv_general_dilated(
+        x, params["stem_conv"]["kernel"].astype(dtype), (4, 4), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32).astype(dtype) \
+        + params["stem_conv"]["bias"].astype(dtype)
+    x = _layernorm(x, params["stem_norm"], dtype)
+    for s, depth in enumerate(depths):
+        stage = params[f"stage{s}"]
+        if s > 0:
+            x = _layernorm(x, stage["downsample_norm"], dtype)
+            x = jax.lax.conv_general_dilated(
+                x, stage["downsample_conv"]["kernel"].astype(dtype),
+                (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(dtype) \
+                + stage["downsample_conv"]["bias"].astype(dtype)
+        for bidx in range(depth):
+            x = fast_convnext_block(stage[f"block{bidx}"], x, interpret)
+    return x
+
+
+def _dense(x, params, dtype):
+    return jnp.dot(x, params["kernel"].astype(dtype),
+                   preferred_element_type=jnp.float32).astype(dtype) \
+        + params["bias"].astype(dtype)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=(x.dtype == jnp.bfloat16))
+
+
+def fast_mm_convnext_logits(variables, images, metadata, config,
+                            interpret=False):
+    """Full mm_ConvNeXt forward (eval mode) from flax variables, using the
+    fused backbone.  Matches models.convnext.MmConvNeXt to working
+    precision (verified in tests/test_pallas_kernels.py)."""
+    from ..models.convnext import convnext_spec
+
+    p = variables["params"]
+    stats = variables.get("batch_stats", {})
+    dtype = images.dtype
+    spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
+
+    x = fast_convnext_backbone(p["backbone"], images, spec["depths"],
+                               interpret)
+    if "LS" in config.get("train_data_version", ""):
+        x = jnp.mean(x, axis=(1, 2))
+        x = _layernorm(x, p["head_norm"], dtype)
+    else:
+        x = x.reshape(x.shape[0], -1)
+
+    # metadata branch: BN (eval: running stats) → fc1 → GELU → fc2 → GELU
+    mb = p["metadata_branch"]
+    ms = stats["metadata_branch"]["bn"]
+    meta = metadata.astype(dtype)
+    meta = (meta - ms["mean"].astype(dtype)) * jax.lax.rsqrt(
+        ms["var"].astype(jnp.float32) + 1e-5).astype(dtype)
+    meta = meta * mb["bn"]["scale"].astype(dtype) \
+        + mb["bn"]["bias"].astype(dtype)
+    meta = _gelu(_dense(meta, mb["fc1"], dtype))
+    meta = _gelu(_dense(meta, mb["fc2"], dtype))
+
+    combined = jnp.concatenate([x, meta], axis=1)
+    ch = p["combined_head"]
+    out = _gelu(_dense(combined, ch["fc1"], dtype))
+    out = _gelu(_dense(out, ch["fc2"], dtype))
+    return _dense(out, ch["out"], dtype).reshape(-1)
