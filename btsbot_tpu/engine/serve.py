@@ -33,11 +33,22 @@ class AlertScorer:
     """
 
     def __init__(self, config, variables, batch_size: int = 2048,
-                 dtype=jnp.bfloat16, normalize: bool = False):
+                 dtype=jnp.bfloat16, normalize: bool = False, mesh=None):
+        """mesh: optional jax.sharding.Mesh — batches are split on the
+        "data" axis across chips (multi-chip serving; params replicated or
+        tensor-sharded per parallel.sharding rules)."""
         self.config = normalize_config(config)
         self.batch_size = batch_size
         self.dtype = dtype
         self.model = build_model(self.config, dtype=dtype)
+        self.mesh = mesh
+        self._data_shard = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            from ..parallel.sharding import shard_variables
+
+            variables = shard_variables(variables, mesh)
+            self._data_shard = batch_sharding(mesh)
         self.variables = variables
         need_triplets = self.config.need_triplets
         need_metadata = self.config.need_metadata
@@ -70,10 +81,14 @@ class AlertScorer:
                 img = np.zeros((bs,) + triplets.shape[1:], np.float32)
                 img[:m] = triplets[start:stop]
                 img = jnp.asarray(img)
+                if self._data_shard is not None:
+                    img = jax.device_put(img, self._data_shard)
             if metadata is not None:
                 meta = np.zeros((bs,) + metadata.shape[1:], np.float32)
                 meta[:m] = metadata[start:stop]
                 meta = jnp.asarray(meta)
+                if self._data_shard is not None:
+                    meta = jax.device_put(meta, self._data_shard)
             out[start:stop] = np.asarray(
                 self._score(self.variables, img, meta))[:m]
         return out

@@ -91,3 +91,19 @@ def test_run_training_with_mesh(tmp_path):
         val_ds=synthetic_dataset(64, seed=1),
         mesh=mesh, make_figure=False, log=lambda *_: None)
     assert np.isfinite(result["history"]["val_loss"]).all()
+
+
+def test_alert_scorer_mesh_sharded():
+    from btsbot_tpu.engine.serve import AlertScorer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    ds = synthetic_dataset(40, seed=5)
+
+    single = AlertScorer(config, variables, batch_size=16, dtype=jnp.float32)
+    sharded = AlertScorer(config, variables, batch_size=16,
+                          dtype=jnp.float32, mesh=make_mesh())
+    s1 = single(ds.images, ds.metadata)
+    with sharded.mesh:
+        s2 = sharded(ds.images, ds.metadata)
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
