@@ -62,6 +62,7 @@ def run_training(
     log: Callable[[str], None] = print,
     epoch_callback: Callable[[int, dict], None] | None = None,
     logger=None,
+    initial_variables=None,
 ) -> dict[str, Any]:
     config = normalize_config(config)
     seed = int(config.get("random_seed", 0))
@@ -88,6 +89,16 @@ def run_training(
     # state stay f32, layer compute runs bf16, loss/grads accumulate f32.
     compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
     model, variables = init_model(config, rng=seed, dtype=compute_dtype)
+    if initial_variables is not None:
+        # pre-loaded weights (e.g. frozen_fusion branches via
+        # models.fusion.load_fusion_branches, or converted checkpoints)
+        variables = initial_variables
+    elif config["model_name"] == "frozen_fusion" and \
+            config.get("image_model_dir") and not config.get(
+                "skip_load_state", False):
+        from ..models.fusion import load_fusion_branches
+        variables = load_fusion_branches(config, variables)
+        log("Loaded frozen-fusion branch weights from model dirs")
     tx = make_optimizer(config, steps_per_epoch)
     state = create_train_state(config, variables, tx, seed=seed)
 
