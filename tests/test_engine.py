@@ -227,3 +227,18 @@ def test_device_data_path_matches_host_path(tmp_path):
                                r2["history"]["train_loss"], rtol=1e-5)
     np.testing.assert_allclose(r1["history"]["val_loss"],
                                r2["history"]["val_loss"], rtol=1e-5)
+
+
+def test_training_is_deterministic_per_seed(tmp_path):
+    config = normalize_config({**SMALL_CFG, "epochs": 2})
+    kwargs = dict(train_ds=synthetic_dataset(128, seed=0),
+                  val_ds=synthetic_dataset(64, seed=1),
+                  make_figure=False, log=lambda *_: None)
+    r1 = run_training(config, run_name="a", out_root=str(tmp_path / "a"),
+                      **kwargs)
+    r2 = run_training(config, run_name="b", out_root=str(tmp_path / "b"),
+                      **kwargs)
+    np.testing.assert_array_equal(r1["history"]["train_loss"],
+                                  r2["history"]["train_loss"])
+    np.testing.assert_array_equal(r1["history"]["val_loss"],
+                                  r2["history"]["val_loss"])
