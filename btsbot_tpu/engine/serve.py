@@ -32,10 +32,12 @@ class AlertScorer:
     cutout stacks); leave False for pre-normalized training .npy data.
     """
 
-    def __init__(self, config, variables, batch_size: int = 2048,
+    def __init__(self, config, variables, batch_size: int = 3072,
                  dtype=jnp.bfloat16, normalize: bool = False, mesh=None):
-        """mesh: optional jax.sharding.Mesh — batches are split on the
-        "data" axis across chips (multi-chip serving; params replicated or
+        """batch_size 3072 is the measured single-chip sweet spot on v5e
+        (~15% over the 2^n sizes at BTSbot stage shapes — see bench.py).
+        mesh: optional jax.sharding.Mesh — batches are split on the "data"
+        axis across chips (multi-chip serving; params replicated or
         tensor-sharded per parallel.sharding rules)."""
         self.config = normalize_config(config)
         self.batch_size = batch_size
@@ -141,7 +143,7 @@ class AlertStreamScorer:
     inference_example.py:47-95).
     """
 
-    def __init__(self, config, variables, batch_size: int = 2048,
+    def __init__(self, config, variables, batch_size: int = 3072,
                  dtype=jnp.bfloat16, num_threads: int = 0):
         self.scorer = AlertScorer(config, variables, batch_size=batch_size,
                                   dtype=dtype, normalize=True)
