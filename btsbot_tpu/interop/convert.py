@@ -22,7 +22,7 @@ DataParallel checkpoints are normalized first (reference to_onnx.py:32-34).
 
 from __future__ import annotations
 
-from typing import Any, Mapping
+from typing import Any, Iterator, Mapping
 
 import numpy as np
 
@@ -34,6 +34,64 @@ def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):  # torch tensor without importing torch
         x = x.detach().cpu().numpy()
     return np.asarray(x)
+
+
+#: torch bookkeeping keys a conversion legitimately never reads.
+IGNORED_KEY_SUFFIXES = (".num_batches_tracked",)
+
+
+def _is_bookkeeping(key: str) -> bool:
+    return key.endswith(IGNORED_KEY_SUFFIXES) or key.startswith("_")
+
+
+class UnconsumedKeysError(KeyError):
+    """A checkpoint carried keys the converter never read.
+
+    The reference loads state dicts with ``load_state_dict(strict=True)``
+    (from_HF.py:79), which errors on *both* missing and unexpected keys.
+    Missing keys already raise KeyError here; this error restores the
+    unexpected-key half of that contract so a real checkpoint with
+    extra/renamed submodules (e.g. timm "rw"-variant extras) can never
+    silently half-load.
+    """
+
+    def __init__(self, unconsumed: list[str], total: int):
+        self.unconsumed = unconsumed
+        self.total = total
+        shown = ", ".join(unconsumed[:12])
+        more = f" (+{len(unconsumed) - 12} more)" if len(unconsumed) > 12 else ""
+        super().__init__(
+            f"{len(unconsumed)}/{total} checkpoint keys were not consumed by "
+            f"the conversion: {shown}{more}. The checkpoint layout does not "
+            f"match this model; pass strict=False to half-load anyway, or "
+            f"remap the offending keys (interop.maxvit_convert key_aliases / "
+            f"interop.pretrained strip rules).")
+
+
+class TrackedStateDict(Mapping):
+    """Read-tracking view of a state dict for strict conversion accounting.
+
+    Records every key read via ``[]``; containment checks (``in``) do not
+    count as consumption, so optional-key probes stay side-effect free.
+    """
+
+    def __init__(self, data: Mapping[str, Any]):
+        self._data = dict(data)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, key: str):
+        value = self._data[key]
+        self.consumed.add(key)
+        return value
+
+    def __contains__(self, key) -> bool:
+        return key in self._data
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
 
 
 def strip_module_prefix(sd: Mapping[str, Any]) -> dict[str, Any]:
@@ -236,9 +294,17 @@ _CONVERTERS = {
 }
 
 
-def torch_state_dict_to_variables(config, state_dict: Mapping[str, Any]) -> dict:
+def torch_state_dict_to_variables(config, state_dict: Mapping[str, Any],
+                                  strict: bool = True) -> dict:
     """Convert a reference-model torch state dict into flax variables
-    ({'params': ..., 'batch_stats': ...}) for the matching btsbot-tpu model."""
+    ({'params': ..., 'batch_stats': ...}) for the matching btsbot-tpu model.
+
+    strict=True (default) raises :class:`UnconsumedKeysError` when the
+    checkpoint carries keys the conversion never read (torch
+    ``num_batches_tracked`` bookkeeping excepted) — the analog of
+    ``load_state_dict(strict=True)``'s unexpected-key check (from_HF.py:79).
+    Missing keys always raise KeyError regardless of ``strict``.
+    """
     if not isinstance(config, Config):
         config = normalize_config(config)
     sd = strip_module_prefix(state_dict)
@@ -248,7 +314,34 @@ def torch_state_dict_to_variables(config, state_dict: Mapping[str, Any]) -> dict
     except KeyError:
         raise NotImplementedError(
             f"No torch converter for model {name}") from None
-    variables = converter(config, sd)
+    tracked = TrackedStateDict(sd)
+    variables = converter(config, tracked)
+    if strict:
+        unconsumed = sorted(k for k in sd
+                            if k not in tracked.consumed
+                            and not _is_bookkeeping(k))
+        if unconsumed:
+            raise UnconsumedKeysError(unconsumed, len(sd))
     if not variables["batch_stats"]:
         variables.pop("batch_stats")
     return variables
+
+
+def conversion_manifest(config, state_dict: Mapping[str, Any]) -> dict:
+    """Dry-run accounting report for a checkpoint conversion.
+
+    Returns ``{"consumed": [...], "ignored": [...], "unconsumed": [...]}``
+    without raising, so callers can inspect exactly which checkpoint keys a
+    conversion would read before committing to it.
+    """
+    if not isinstance(config, Config):
+        config = normalize_config(config)
+    sd = strip_module_prefix(state_dict)
+    tracked = TrackedStateDict(sd)
+    _CONVERTERS[config["model_name"]](config, tracked)
+    ignored = sorted(k for k in sd if _is_bookkeeping(k))
+    unconsumed = sorted(k for k in sd
+                        if k not in tracked.consumed
+                        and not _is_bookkeeping(k))
+    return {"consumed": sorted(tracked.consumed), "ignored": ignored,
+            "unconsumed": unconsumed}

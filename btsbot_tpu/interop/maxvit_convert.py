@@ -32,6 +32,55 @@ def _np(x):
     return np.asarray(x)
 
 
+#: substring → substring key remaps applied before conversion, the patch
+#: point for real-checkpoint naming drift (e.g. if a real timm rw checkpoint
+#: names the MBConv shortcut differently:
+#: ``{".shortcut.expand.": ".shortcut.conv."}``).  Aliases are applied as a
+#: read-through view so strict conversion accounting still tracks the
+#: original checkpoint keys.
+KEY_ALIASES: dict[str, str] = {}
+
+
+class _AliasedView(Mapping):
+    """Mapping view exposing renamed keys while reads hit the base mapping
+    (keeps convert.TrackedStateDict consumption accounting intact)."""
+
+    def __init__(self, base: Mapping, aliases: Mapping[str, str]):
+        self._base = base
+        self._to_base = {}
+        for key in base:
+            renamed = key
+            for old, new in aliases.items():
+                renamed = renamed.replace(old, new)
+            self._to_base[renamed] = key
+
+    def __getitem__(self, key):
+        return self._base[self._to_base[key]]
+
+    def __contains__(self, key):
+        return key in self._to_base
+
+    def __iter__(self):
+        return iter(self._to_base)
+
+    def __len__(self):
+        return len(self._to_base)
+
+
+def apply_key_aliases(sd: Mapping, aliases: Mapping[str, str] | None = None):
+    aliases = KEY_ALIASES if aliases is None else aliases
+    return _AliasedView(sd, aliases) if aliases else sd
+
+
+def _shortcut_conv(sd, prefix):
+    """timm maxxvit's MBConv shortcut is a Downsample2d whose 1×1 conv attr
+    may be named ``expand`` (pool+expand) — probe both namings."""
+    for cand in (f"{prefix}.shortcut.conv", f"{prefix}.shortcut.expand"):
+        if f"{cand}.weight" in sd:
+            return t_conv(sd, cand)
+    raise KeyError(f"{prefix}.shortcut.conv(.weight) / .shortcut.expand")
+
+
 def _mbconv(sd, prefix, in_chs, out_chs, stride):
     params: dict[str, Any] = {
         "conv1_1x1": t_conv(sd, f"{prefix}.conv1_1x1"),
@@ -49,7 +98,7 @@ def _mbconv(sd, prefix, in_chs, out_chs, stride):
         "norm2": t_bn_stats(sd, f"{prefix}.norm2"),
     }
     if stride == 2 or in_chs != out_chs:
-        params["shortcut_conv"] = t_conv(sd, f"{prefix}.shortcut.conv")
+        params["shortcut_conv"] = _shortcut_conv(sd, prefix)
     return params, stats
 
 
@@ -105,6 +154,7 @@ def maxvit_backbone_to_flax(sd: Mapping, prefix: str, model_kind: str):
 def convert_maxvit(config: Config, sd: Mapping) -> dict:
     """Image-only MaxViT (reference head Sequential: 1=fc1, 3=fc2, 6=out)."""
     model_kind = config.get("model_kind", "maxvit_tiny_rw_224.sw_in1k")
+    sd = apply_key_aliases(sd)
     b_params, b_stats = maxvit_backbone_to_flax(sd, "maxvit", model_kind)
     params = {
         "backbone": b_params,
@@ -121,6 +171,7 @@ def convert_mm_maxvit(config: Config, sd: Mapping) -> dict:
     from .convert import _metadata_branch
 
     model_kind = config.get("model_kind", "maxvit_tiny_rw_224.sw_in1k")
+    sd = apply_key_aliases(sd)
     b_params, b_stats = maxvit_backbone_to_flax(
         sd, "maxvit_backbone", model_kind)
     meta_params, meta_stats = _metadata_branch(sd, "metadata_branch")
