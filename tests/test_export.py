@@ -95,3 +95,62 @@ def test_publish_helpers():
     assert "zoobot" in get_HF_basemodel("convnext", "galaxyzoo")
     with pytest.raises(ValueError):
         get_HF_basemodel("resnet", "imagenet")
+
+
+def test_convnext_export_torch_forward_parity():
+    """f32 exported mm_ConvNeXt state dict, loaded into the torch oracle,
+    reproduces the JAX forward at the reference tolerance (the deployment
+    chain's numeric contract, to_onnx.py:135-137)."""
+    config = normalize_config({**CONVNEXT_CFG, "model_name": "mm_ConvNeXt",
+                               "model_kind": "convnext_atto.d2_in1k"})
+    model, variables = init_model(config, rng=5)
+    sd = variables_to_torch_state_dict(config, variables)
+    oracle = TorchMmConvNeXt(dict(config), depths=(2, 2, 6, 2),
+                             dims=(40, 80, 160, 320))
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    missing, unexpected = oracle.load_state_dict(tensors, strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k for k in missing)
+    oracle.eval()
+
+    img, meta = _rand_inputs(seed=13)
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()),
+            torch.from_numpy(meta)).numpy()
+    got = np.asarray(model.apply(variables, image_input=jnp.asarray(img),
+                                 metadata_input=jnp.asarray(meta),
+                                 train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_maxvit_export_torch_forward_parity(monkeypatch):
+    """Same contract for the MaxViT export path (round 1 only asserted key
+    identity here)."""
+    from btsbot_tpu.models import maxvit as maxvit_mod
+    from torch_maxvit_mirror import TorchMmMaxViT
+
+    tiny = {"depths": (1, 1), "dims": (32, 64), "stem_width": 32}
+    monkeypatch.setitem(maxvit_mod.MAXVIT_CONFIGS, "maxvit_tiny", tiny)
+    config = normalize_config({**CNN_CFG, "model_name": "mm_MaxViT",
+                               "model_kind": "maxvit_tiny_rw_64.test"})
+    model, variables = init_model(config, rng=6)
+    sd = variables_to_torch_state_dict(config, variables)
+    oracle = TorchMmMaxViT(dict(config), image_size=64, window=2, **tiny)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in sd.items()}
+    missing, unexpected = oracle.load_state_dict(tensors, strict=False)
+    assert not unexpected
+    assert all("num_batches_tracked" in k for k in missing)
+    oracle.eval()
+
+    img, meta = _rand_inputs(seed=17)
+    with torch.no_grad():
+        expected = oracle(
+            torch.from_numpy(np.transpose(img, (0, 3, 1, 2)).copy()),
+            torch.from_numpy(meta)).numpy()
+    got = np.asarray(model.apply(variables, image_input=jnp.asarray(img),
+                                 metadata_input=jnp.asarray(meta),
+                                 train=False))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)

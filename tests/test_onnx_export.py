@@ -1,0 +1,161 @@
+"""Direct ONNX artifacts for every model family, verified cross-runtime.
+
+The emitted .onnx files (interop/onnx_export.py, hand-encoded protobuf) are
+parsed back and executed by the independent numpy evaluator
+(interop/onnx_numpy.py) against the native JAX f32 graph at the reference's
+torch-vs-ONNX tolerance (to_onnx.py:135-137: rtol 1e-4 / atol 1e-5).
+Covers dynamic batch axes and the NCHW image-input contract brokers expect
+from reference artifacts.
+"""
+
+import numpy as np
+import pytest
+
+from btsbot_tpu import init_model, normalize_config
+from btsbot_tpu.interop.onnx_export import export_and_verify_onnx, export_onnx
+from btsbot_tpu.interop.onnx_numpy import run_model
+from btsbot_tpu.models import maxvit as maxvit_mod
+
+META_COLS = [f"m{i}" for i in range(25)]
+
+BASE = {
+    "train_data_version": "vtest",
+    "metadata_cols": META_COLS,
+    "conv1_channels": 8, "conv2_channels": 8, "conv_kernel": 5,
+    "conv_dropout1": 0.1, "conv_dropout2": 0.1,
+    "fc1_neurons": 16, "fc2_neurons": 8, "dropout": 0.2,
+    "meta_fc1_neurons": 16, "meta_fc2_neurons": 16, "meta_dropout": 0.1,
+    "comb_fc1_neurons": 8, "comb_fc2_neurons": 8, "comb_dropout": 0.1,
+}
+
+
+def _cfg(model_name, **kw):
+    return normalize_config({**BASE, "model_name": model_name, **kw})
+
+
+def _data(n=5, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=(n, 63, 63, 3)).astype(np.float32),
+            rng.normal(size=(n, 25)).astype(np.float32))
+
+
+def _roundtrip(config, tmp_path, triplets=None, metadata=None):
+    _, variables = init_model(config, rng=0)
+    path = str(tmp_path / f"{config['model_name']}.onnx")
+    report = export_and_verify_onnx(config, variables, path,
+                                    triplets=triplets, metadata=metadata)
+    assert report["close"], report
+    assert (tmp_path / f"{config['model_name']}.verification.json").exists()
+    return path, variables
+
+
+def test_um_nn_onnx(tmp_path):
+    _, meta = _data()
+    _roundtrip(_cfg("um_nn"), tmp_path, metadata=meta)
+
+
+def test_um_cnn_onnx(tmp_path):
+    img, _ = _data()
+    _roundtrip(_cfg("um_cnn"), tmp_path, triplets=img)
+
+
+def test_mm_cnn_onnx_dynamic_batch(tmp_path):
+    img, meta = _data()
+    path, _ = _roundtrip(_cfg("mm_cnn"), tmp_path, triplets=img,
+                         metadata=meta)
+    # same artifact, different batch size (dynamic axis)
+    img2, meta2 = _data(n=2, seed=1)
+    with open(path, "rb") as f:
+        out = run_model(f.read(), {
+            "image": np.ascontiguousarray(img2.transpose(0, 3, 1, 2)),
+            "metadata": meta2})
+    assert out["logits"].shape == (2,)
+
+
+def test_convnext_onnx(tmp_path):
+    img, _ = _data(n=3)
+    _roundtrip(_cfg("ConvNeXt", model_kind="convnext_atto.d2_in1k"),
+               tmp_path, triplets=img)
+
+
+def test_mm_convnext_onnx_both_head_surgeries(tmp_path):
+    img, meta = _data(n=3)
+    _roundtrip(_cfg("mm_ConvNeXt", model_kind="convnext_atto.d2_in1k"),
+               tmp_path, triplets=img, metadata=meta)
+    _roundtrip(_cfg("mm_ConvNeXt", model_kind="convnext_atto.d2_in1k",
+                    train_data_version="v10LS"),
+               tmp_path / "..", triplets=img, metadata=meta)
+
+
+@pytest.fixture
+def tiny_maxvit(monkeypatch):
+    monkeypatch.setitem(
+        maxvit_mod.MAXVIT_CONFIGS, "maxvit_tiny",
+        {"depths": (1, 1), "dims": (32, 64), "stem_width": 32})
+
+
+def test_mm_maxvit_onnx(tmp_path, tiny_maxvit):
+    """Reduced-spec MaxViT (native 64, window 2): covers resize, MBConv+SE,
+    shortcut, window/grid attention with baked rel-pos bias."""
+    img, meta = _data(n=2)
+    _roundtrip(_cfg("mm_MaxViT", model_kind="maxvit_tiny_rw_64.test"),
+               tmp_path, triplets=img, metadata=meta)
+
+
+def test_maxvit_image_only_onnx(tmp_path, tiny_maxvit):
+    img, _ = _data(n=2)
+    _roundtrip(_cfg("MaxViT", model_kind="maxvit_tiny_rw_64.test"),
+               tmp_path, triplets=img)
+
+
+def test_onnx_file_reparses_and_names_contract(tmp_path):
+    """Wire-format fidelity: the written file re-parses to the same graph
+    metadata the reference contract names (inputs image/metadata NCHW,
+    output logits, dynamic batch dim)."""
+    from btsbot_tpu.interop.onnx_proto import decode_model
+
+    config = _cfg("mm_cnn")
+    _, variables = init_model(config, rng=0)
+    path = str(tmp_path / "m.onnx")
+    export_onnx(config, variables, path)
+    with open(path, "rb") as f:
+        g = decode_model(f.read())
+    assert [i[0] for i in g.inputs] == ["image", "metadata"]
+    assert g.inputs[0][1] == ["batch", 3, 63, 63]
+    assert [o[0] for o in g.outputs] == ["logits"]
+    assert any(n.op_type == "Conv" for n in g.nodes)
+
+
+def test_export_cli_all_formats(tmp_path):
+    """cli.export drives the reference's to_onnx workflow end-to-end on a
+    saved model dir, for every artifact format."""
+    from btsbot_tpu.cli.export import main as export_main
+    from btsbot_tpu.engine.checkpoint import save_model_variables
+    from btsbot_tpu.metrics.report import make_report
+
+    config = _cfg("mm_cnn")
+    _, variables = init_model(config, rng=0)
+    model_dir = str(tmp_path / "mdir")
+    save_model_variables(f"{model_dir}/best", variables["params"],
+                         variables.get("batch_stats", {}))
+    make_report(config, f"{model_dir}/report.json",
+                {"run_name": "t", "train_loss": [1.0], "val_loss": [1.0],
+                 "train_accuracy": [0.5], "val_accuracy": [0.5]}, {})
+
+    out = export_main([model_dir])
+    assert out.endswith("model.onnx")
+    with open(out, "rb") as f:
+        got = run_model(f.read(), {
+            "image": np.zeros((1, 3, 63, 63), np.float32),
+            "metadata": np.zeros((1, 25), np.float32)})
+    assert got["logits"].shape == (1,)
+
+    out = export_main([model_dir, "--format", "torch"])
+    assert out.endswith("pytorch_model.bin")
+    import torch as _torch
+    sd = _torch.load(out, map_location="cpu", weights_only=True)
+    assert "conv_layers.0.weight" in sd
+
+    pytest.importorskip("tensorflow")
+    out = export_main([model_dir, "--format", "saved_model"])
+    assert (tmp_path / "mdir" / "saved_model" / "verification.json").exists()
