@@ -67,6 +67,97 @@ def bench_batch(score_many, variables, batch: int, dtype,
     return batch * iters / dt
 
 
+def model_flops_per_alert(variables, batch: int = 512) -> float:
+    """Forward FLOPs/alert from XLA's cost analysis of the f32 scoring
+    graph, compiled on the in-process CPU backend (the remote-TPU relay
+    makes an extra device compile cost minutes; FLOP counts are
+    backend-stable to a few %)."""
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from btsbot_tpu import build_model, normalize_config
+
+    config = normalize_config(FLAGSHIP_CONFIG)
+    model = build_model(config)
+    cpu = jax.devices("cpu")[0]
+    host_vars = jax.device_put(jax.tree.map(np.asarray, variables), cpu)
+
+    def fwd(variables, images, metadata):
+        return model.apply(variables, image_input=images,
+                           metadata_input=metadata, train=False)
+
+    with jax.default_device(cpu):
+        lowered = jax.jit(fwd).lower(
+            host_vars, jnp.zeros((batch, 63, 63, 3), jnp.float32),
+            jnp.zeros((batch, 25), jnp.float32))
+        cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):  # older JAX returns one dict per device
+        cost = cost[0]
+    return float(cost.get("flops", 0.0)) / batch
+
+
+def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8) -> dict:
+    """Full production path: gzip FITS packets → native decode → device
+    ingest+forward → scores, through the pipelined stream scorer.  This is
+    wall-clock honest end to end — the final readback forces completion of
+    every dispatched batch."""
+    import gzip
+    import os
+
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from btsbot_tpu import init_model, normalize_config
+    from btsbot_tpu.data.fits import write_fits_image
+    from btsbot_tpu.engine.serve import AlertStreamScorer
+
+    config = normalize_config(FLAGSHIP_CONFIG)
+    # bf16 pixel transfer: halves host→device ingest bytes (through this
+    # environment's remote-TPU tunnel the link is ~22 MB/s and dominates
+    # end-to-end; on a production host PCIe makes transfer negligible)
+    scorer = AlertStreamScorer(config, variables, batch_size=batch,
+                               transfer_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    blob = gzip.compress(write_fits_image(
+        rng.normal(size=(63, 63)).astype(np.float32)))
+
+    def packet():
+        return {"candidate": {c: float(rng.normal())
+                              for c in config["metadata_cols"]},
+                **{k: {"stampData": blob}
+                   for k in ("cutoutScience", "cutoutTemplate",
+                             "cutoutDifference")}}
+
+    batches = [[packet() for _ in range(batch)] for _ in range(n_batches)]
+
+    # measure host decode alone (the expected single-core bottleneck)
+    t0 = time.perf_counter()
+    scorer._prepare(batches[0])
+    decode_rate = batch / (time.perf_counter() - t0)
+
+    list(scorer.score_stream(batches[:2]))  # warmup + compile
+    t0 = time.perf_counter()
+    done = sum(len(s) for s, _ in scorer.score_stream(batches))
+    dt = time.perf_counter() - t0
+
+    # measure the host→device link so the binding constraint is explicit
+    x = np.zeros((batch, 63, 63, 3), np.float32)
+    fence = jax.jit(lambda a: jnp.float32(a.sum()))
+    float(fence(jnp.asarray(x)))
+    t0 = time.perf_counter()
+    float(fence(jnp.asarray(x)))
+    link_mbps = x.nbytes / 1e6 / (time.perf_counter() - t0)
+
+    return {
+        "end_to_end_alerts_per_s": round(done / dt, 1),
+        "host_decode_alerts_per_s": round(decode_rate, 1),
+        "host_cores": os.cpu_count(),
+        "h2d_link_MB_per_s": round(link_mbps, 1),
+        "end_to_end_note": ("packets->scores incl. gzip+FITS decode, bf16 "
+                            "pixel transfer; bound by min(host decode x "
+                            "cores, h2d link, device compute) - here the "
+                            "remote-TPU tunnel link and the single host "
+                            "core; both scale on production hosts"),
+    }
+
+
 def main():
     import sys
     import traceback
@@ -95,7 +186,7 @@ def main():
                           "value": 0, "unit": "alerts/s/chip",
                           "vs_baseline": 0, "errors": errors}))
         sys.exit(1)
-    print(json.dumps({
+    result = {
         "metric": "mm_convnext_pico_multimodal_inference_throughput",
         "value": round(best, 1),
         "unit": "alerts/s/chip",
@@ -103,7 +194,19 @@ def main():
         "batch_size": best_batch,
         "dtype": "bfloat16",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    try:
+        flops = model_flops_per_alert(variables)
+        result["flops_per_alert"] = round(flops)
+        # TPU v5e peak: 197 TFLOP/s bf16 per chip
+        result["mfu"] = round(best * flops / 197e12, 4)
+    except Exception as e:  # noqa: BLE001 — aux metrics must not kill bench
+        result["mfu_error"] = str(e)
+    try:
+        result.update(bench_end_to_end(variables))
+    except Exception as e:  # noqa: BLE001
+        result["end_to_end_error"] = str(e)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

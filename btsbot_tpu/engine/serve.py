@@ -136,18 +136,99 @@ class AlertStreamScorer:
     """Raw-packet serving: gzip FITS cutout blobs → score, end to end.
 
     Chains the native batched stamp decoder (btsbot_tpu.native), the fused
-    on-device ingest (NaN-clean + per-cutout L2 norm + corrupt detection),
-    and the batched model forward — the full production path from an alert
-    broker's packet stream to BTS scores (replacing the reference's
-    make_triplet → DataLoader → model chain, alert_utils.py:110-196 +
-    inference_example.py:47-95).
+    on-device ingest (NaN-clean + per-cutout L2 norm + corrupt detection —
+    full ``make_triplet`` semantics, alert_utils.py:110-196), and the
+    batched model forward in ONE jitted program per batch, so a packet
+    batch costs exactly one host→device transfer and one device→host
+    readback.
+
+    ``score_stream`` pipelines batches: while the device scores batch *i*,
+    the host decodes batch *i+1* (the native decoder releases the GIL), so
+    end-to-end throughput approaches max(host decode, device compute)
+    instead of their sum.  ``AlertStreamConsumer`` wraps this into a
+    long-running broker daemon with adaptive batching and backpressure.
     """
 
     def __init__(self, config, variables, batch_size: int = 3072,
-                 dtype=jnp.bfloat16, num_threads: int = 0):
-        self.scorer = AlertScorer(config, variables, batch_size=batch_size,
-                                  dtype=dtype, normalize=True)
+                 dtype=jnp.bfloat16, num_threads: int = 0,
+                 transfer_dtype=None):
+        """transfer_dtype: optional narrower dtype (e.g. jnp.bfloat16) for
+        the host→device pixel transfer — halves ingest bytes on the PCIe/DCN
+        link at ~0.4% pixel quantization (scores already run bf16); ingest
+        math still runs f32 on device.  None (default) ships f32 pixels."""
+        from ..ops.preprocess import preprocess_triplets
+
+        self.config = normalize_config(config)
+        self.batch_size = batch_size
+        self.dtype = dtype
         self.num_threads = num_threads
+        self.transfer_dtype = transfer_dtype
+        self.variables = variables
+        self.model = build_model(self.config, dtype=dtype)
+        need_meta = self.config.need_metadata
+
+        def fwd(variables, raw_triplets, metadata):
+            imgs, corrupt = preprocess_triplets(
+                raw_triplets.astype(jnp.float32))
+            logits = self.model.apply(
+                variables,
+                image_input=imgs.astype(dtype),
+                metadata_input=(metadata.astype(dtype) if need_meta
+                                else None),
+                train=False)
+            scores = jax.nn.sigmoid(
+                logits.reshape(-1).astype(jnp.float32))
+            return scores, corrupt
+
+        self._fwd = jax.jit(fwd)
+
+    # ------------------------- pipeline stages -------------------------
+
+    def _prepare(self, packets: list[dict]):
+        """Host stage: decode blobs (native, multithreaded) + gather
+        metadata columns.  Returns (raw_triplets, metadata, decode_bad)."""
+        from ..native import decode_stamps
+
+        n = len(packets)
+        blobs: list[bytes] = []
+        for p in packets:
+            for key in ("cutoutScience", "cutoutTemplate",
+                        "cutoutDifference"):
+                blobs.append(p[key]["stampData"])
+        stamps, status = decode_stamps(blobs, num_threads=self.num_threads)
+        triplets = np.ascontiguousarray(
+            stamps.reshape(n, 3, 63, 63).transpose(0, 2, 3, 1))
+        decode_bad = status.reshape(n, 3).any(axis=1)
+        metadata = None
+        if self.config.need_metadata:
+            cols = self.config["metadata_cols"]
+            metadata = np.asarray(
+                [[float(p["candidate"].get(c, 0.0)) for c in cols]
+                 for p in packets], dtype=np.float32)
+        return triplets, metadata, decode_bad
+
+    def _dispatch(self, triplets, metadata, n: int):
+        """Device stage: pad to the compiled batch size and launch the fused
+        ingest+forward asynchronously.  Returns device arrays (futures)."""
+        bs = self.batch_size
+        wire = np.dtype(self.transfer_dtype) if self.transfer_dtype \
+            else np.float32
+        img = np.zeros((bs, 63, 63, 3), wire)
+        img[:n] = triplets[:n].astype(wire)
+        meta = None
+        if metadata is not None:
+            meta = np.zeros((bs,) + metadata.shape[1:], np.float32)
+            meta[:n] = metadata[:n]
+            meta = jnp.asarray(meta)
+        return self._fwd(self.variables, jnp.asarray(img), meta)
+
+    @staticmethod
+    def _finish(scores_dev, corrupt_dev, decode_bad, n: int):
+        scores = np.asarray(scores_dev)[:n]
+        drop = np.asarray(corrupt_dev)[:n] | decode_bad[:n]
+        return np.where(drop, np.nan, scores), drop
+
+    # ------------------------------ APIs ------------------------------
 
     def __call__(self, packets: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         """packets: alert dicts with cutout{Science,Template,Difference}
@@ -157,32 +238,184 @@ class AlertStreamScorer:
         Returns (scores (N,), drop_mask (N,)) — scores are NaN where the
         alert was dropped as corrupt/undecodable.
         """
-        from ..native import decode_stamps
-        from ..ops.preprocess import corrupt_mask
+        bs = self.batch_size
+        chunks = [packets[i:i + bs] for i in range(0, len(packets), bs)]
+        out_scores, out_drop = [], []
+        for scores, drop in self.score_stream(chunks):
+            out_scores.append(scores)
+            out_drop.append(drop)
+        if not out_scores:
+            return np.empty(0, np.float32), np.empty(0, bool)
+        return np.concatenate(out_scores), np.concatenate(out_drop)
 
-        config = self.scorer.config
-        n = len(packets)
-        blobs: list[bytes] = []
-        for p in packets:
-            for key in ("cutoutScience", "cutoutTemplate",
-                        "cutoutDifference"):
-                blobs.append(p[key]["stampData"])
-        stamps, status = decode_stamps(blobs, num_threads=self.num_threads)
-        triplets = stamps.reshape(n, 3, 63, 63).transpose(0, 2, 3, 1)
-        decode_bad = status.reshape(n, 3).any(axis=1)
+    def score_stream(self, packet_batches, max_in_flight: int = 2):
+        """Pipelined scoring over an iterable of packet lists (each ≤
+        batch_size).  Yields (scores, drop) per input batch, in order.
 
-        drop = np.asarray(corrupt_mask(jnp.asarray(triplets))) | decode_bad
+        Keeps up to ``max_in_flight`` batches dispatched on the device: the
+        next batch's host decode runs while the device computes, and the
+        bounded window applies backpressure to the producer (the iterable
+        is only advanced as fast as results drain).
+        """
+        from collections import deque
 
-        metadata = None
-        if config.need_metadata:
-            cols = config["metadata_cols"]
-            metadata = np.asarray(
-                [[float(p["candidate"].get(c, 0.0)) for c in cols]
-                 for p in packets], dtype=np.float32)
+        inflight: deque = deque()
+        for packets in packet_batches:
+            if len(packets) > self.batch_size:
+                raise ValueError(
+                    f"stream batch of {len(packets)} exceeds compiled "
+                    f"batch_size {self.batch_size}")
+            triplets, metadata, decode_bad = self._prepare(packets)
+            handles = self._dispatch(triplets, metadata, len(packets))
+            inflight.append((handles, decode_bad, len(packets)))
+            if len(inflight) >= max_in_flight:
+                (s, c), bad, n = inflight.popleft()
+                yield self._finish(s, c, bad, n)
+        while inflight:
+            (s, c), bad, n = inflight.popleft()
+            yield self._finish(s, c, bad, n)
 
-        scores = self.scorer(triplets, metadata)
-        scores = np.where(drop, np.nan, scores)
-        return scores, drop
+
+class AlertStreamConsumer:
+    """Long-running broker consumer daemon over an AlertStreamScorer.
+
+    The production-serving story the reference delegates to Kowalski/Fritz
+    (README.md:34-43: brokers run the exported model): a consumer loop that
+    pulls alert packets from a source, batches them adaptively (flush at
+    ``max_batch`` or after ``max_wait_s`` of the oldest pending packet),
+    scores through the pipelined stream scorer, and hands results to a sink.
+
+    * source: an iterable of packets, or a ``queue.Queue`` fed by the broker
+      (``None`` in the queue signals shutdown after draining).
+    * sink: callable ``sink(packets, scores, drop)`` per scored batch.
+    * backpressure: at most ``max_in_flight`` device batches plus one
+      pending host batch are held; a bounded queue source blocks the broker
+      when scoring falls behind.
+    """
+
+    def __init__(self, scorer: AlertStreamScorer, source, sink,
+                 max_batch: int | None = None, max_wait_s: float = 0.1,
+                 max_in_flight: int = 2):
+        import queue as _queue
+        import threading
+
+        self.scorer = scorer
+        self.sink = sink
+        self.max_batch = min(max_batch or scorer.batch_size,
+                             scorer.batch_size)
+        self.max_wait_s = max_wait_s
+        self.max_in_flight = max_in_flight
+        self.stats = {"alerts_in": 0, "alerts_scored": 0, "dropped": 0,
+                      "batches": 0, "wall_s": 0.0, "alerts_per_s": 0.0}
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+        if isinstance(source, _queue.Queue):
+            self._queue = source
+        else:
+            # wrap an iterable in a bounded feeder queue (backpressure)
+            self._queue = _queue.Queue(maxsize=4 * self.max_batch)
+
+            def feed(it):
+                for p in it:
+                    if self._stop.is_set():
+                        break
+                    self._queue.put(p)
+                self._queue.put(None)
+
+            self._feeder = threading.Thread(target=feed, args=(source,),
+                                            daemon=True)
+            self._feeder.start()
+
+    def _collect_batch(self, idle_poll_s: float = 0.05):
+        """Adaptive batching step: a packet list of up to max_batch (partial
+        batches flush max_wait_s after their first packet), ``[]`` when the
+        source is idle (so the caller can drain in-flight results), or
+        ``None`` on shutdown."""
+        import queue as _queue
+
+        if self._done:
+            return None
+        batch: list = []
+        deadline = None
+        while len(batch) < self.max_batch:
+            if self._stop.is_set():
+                return batch or None
+            timeout = idle_poll_s if deadline is None \
+                else max(0.0, deadline - time.monotonic())
+            try:
+                item = self._queue.get(timeout=timeout)
+            except _queue.Empty:
+                if batch:
+                    break  # flush partial batch on max_wait_s timeout
+                return []  # idle — let the caller drain the pipeline
+            if item is None:
+                self._done = True
+                break
+            batch.append(item)
+            if deadline is None:
+                deadline = time.monotonic() + self.max_wait_s
+        if self._done and not batch:
+            return None
+        return batch
+
+    def run(self) -> dict:
+        """Consume until the source is exhausted (or stop()); returns stats.
+
+        Keeps up to ``max_in_flight`` batches computing on the device; while
+        the device works, the loop collects/decodes the next batch.  When
+        the source goes idle, in-flight results drain immediately instead of
+        waiting for more input.
+        """
+        from collections import deque
+
+        t0 = time.perf_counter()
+        self._done = False
+        inflight: deque = deque()
+
+        def finish_oldest():
+            packets, handles, decode_bad = inflight.popleft()
+            scores, drop = self.scorer._finish(
+                handles[0], handles[1], decode_bad, len(packets))
+            self.stats["alerts_scored"] += len(scores)
+            self.stats["dropped"] += int(drop.sum())
+            self.stats["batches"] += 1
+            self.sink(packets, scores, drop)
+
+        while True:
+            batch = self._collect_batch()
+            if batch is None:
+                break
+            if batch:
+                self.stats["alerts_in"] += len(batch)
+                prep = self.scorer._prepare(batch)
+                handles = self.scorer._dispatch(prep[0], prep[1], len(batch))
+                inflight.append((batch, handles, prep[2]))
+                if len(inflight) >= self.max_in_flight:
+                    finish_oldest()
+            elif inflight:
+                finish_oldest()
+        while inflight:
+            finish_oldest()
+        self.stats["wall_s"] = time.perf_counter() - t0
+        if self.stats["wall_s"] > 0:
+            self.stats["alerts_per_s"] = \
+                self.stats["alerts_scored"] / self.stats["wall_s"]
+        return self.stats
+
+    def start(self) -> None:
+        """Run the consumer loop in a background daemon thread."""
+        import threading
+
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 10.0) -> dict:
+        """Signal shutdown, drain in-flight work, join, and return stats."""
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+        return self.stats
 
 
 def verify_serving_parity(config, variables, triplets=None, metadata=None,

@@ -68,3 +68,95 @@ def test_bf16_training_config(tmp_path):
         val_ds=synthetic_dataset(96, seed=1),
         make_figure=False, log=lambda *_: None)
     assert result["history"]["val_accuracy"][-1] > 0.75
+
+
+def _mk_packets(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [_packet(rng) for _ in range(n)]
+
+
+def test_score_stream_pipelined_matches_direct():
+    """Pipelined stream scoring (decode/compute overlap, bounded in-flight
+    window) returns the same scores, in order, as the one-shot path."""
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    packets = _mk_packets(11)
+    want_scores, want_drop = scorer(packets)
+
+    chunks = [packets[i:i + 4] for i in range(0, 11, 4)]
+    got = list(scorer.score_stream(iter(chunks), max_in_flight=3))
+    got_scores = np.concatenate([s for s, _ in got])
+    got_drop = np.concatenate([d for _, d in got])
+    np.testing.assert_allclose(got_scores, want_scores, rtol=1e-6)
+    np.testing.assert_array_equal(got_drop, want_drop)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exceeds compiled batch_size"):
+        list(scorer.score_stream([packets[:5]]))
+
+
+def test_stream_consumer_daemon_iterable_source():
+    """AlertStreamConsumer drains an iterable source through adaptive
+    batches and delivers every alert to the sink in order."""
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    packets = _mk_packets(10, seed=3)
+    want_scores, _ = scorer(packets)
+
+    got = []
+    consumer = AlertStreamConsumer(
+        scorer, iter(packets),
+        sink=lambda pkts, scores, drop: got.extend(scores),
+        max_batch=4, max_wait_s=0.05)
+    stats = consumer.run()
+    np.testing.assert_allclose(np.asarray(got), want_scores, rtol=1e-6)
+    assert stats["alerts_scored"] == 10
+    assert stats["batches"] >= 3
+    assert stats["alerts_per_s"] > 0
+
+
+def test_stream_consumer_queue_backpressure_and_stop():
+    """Queue-fed daemon: partial batches flush on max_wait_s, a None
+    sentinel shuts the loop down cleanly, stop() joins."""
+    import queue
+    import time as _time
+
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=8,
+                               dtype=jnp.float32)
+    # warm the compiled program so flush timing isn't compile-bound
+    scorer(_mk_packets(2, seed=5))
+
+    q = queue.Queue(maxsize=32)
+    got_batches = []
+    consumer = AlertStreamConsumer(
+        scorer, q, sink=lambda p, s, d: got_batches.append(len(s)),
+        max_batch=8, max_wait_s=0.05)
+    consumer.start()
+
+    for p in _mk_packets(3, seed=6):
+        q.put(p)
+    deadline = _time.monotonic() + 10.0
+    while not got_batches and _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    assert got_batches == [3]  # partial batch flushed without the sentinel
+
+    for p in _mk_packets(2, seed=7):
+        q.put(p)
+    q.put(None)  # sentinel: drain and shut down
+    deadline = _time.monotonic() + 10.0
+    while consumer.stats["alerts_scored"] < 5 and \
+            _time.monotonic() < deadline:
+        _time.sleep(0.01)
+    stats = consumer.stop()
+    assert sum(got_batches) == 5
+    assert stats["alerts_scored"] == 5
