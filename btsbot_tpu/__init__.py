@@ -28,7 +28,7 @@ from .interop.hf import download_HF_model, load_HF_model
 
 def __getattr__(name):
     # Heavier surfaces load lazily so `import btsbot_tpu` stays light.
-    if name in ("AlertScorer", "AlertStreamScorer"):
+    if name in ("AlertScorer", "AlertStreamScorer", "AlertStreamConsumer"):
         from .engine import serve
         return getattr(serve, name)
     if name == "run_training":
@@ -37,6 +37,15 @@ def __getattr__(name):
     if name == "AlertDataset":
         from .data.dataset import AlertDataset
         return AlertDataset
+    if name in ("export_onnx", "verify_onnx", "export_and_verify_onnx"):
+        from .interop import onnx_export
+        return getattr(onnx_export, name)
+    if name in ("export_saved_model", "verify_saved_model"):
+        from .interop import savedmodel
+        return getattr(savedmodel, name)
+    if name == "init_from_backbone_checkpoint":
+        from .interop.pretrained import init_from_backbone_checkpoint
+        return init_from_backbone_checkpoint
     raise AttributeError(name)
 
 __all__ = [
@@ -55,6 +64,13 @@ __all__ = [
     "load_HF_model",
     "AlertScorer",
     "AlertStreamScorer",
+    "AlertStreamConsumer",
     "run_training",
     "AlertDataset",
+    "export_onnx",
+    "verify_onnx",
+    "export_and_verify_onnx",
+    "export_saved_model",
+    "verify_saved_model",
+    "init_from_backbone_checkpoint",
 ]
