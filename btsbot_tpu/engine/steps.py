@@ -105,15 +105,22 @@ def make_device_train_step(model, tx, config, images, metadata, labels):
     return device_train_step
 
 
-def put_dataset_on_device(dataset, sharding=None):
-    """(images, metadata, labels) jnp arrays resident on device."""
-    def put(x):
+def put_dataset_on_device(dataset, sharding=None, image_dtype=None):
+    """(images, metadata, labels) jnp arrays resident on device.
+
+    image_dtype (e.g. bfloat16, config key ``device_data_dtype``) narrows
+    the pixel upload — halves HBM footprint and host→device transfer for
+    the one-time device-resident staging; compute dtype is unaffected
+    (bf16 pixel quantization is ~0.4% relative, below serving bf16 noise).
+    """
+    def put(x, dtype=None):
         if x is None:
             return None
-        x = jnp.asarray(x)
+        x = jnp.asarray(x, dtype)
         return jax.device_put(x, sharding) if sharding is not None else \
             jax.device_put(x)
-    return (put(dataset.images), put(dataset.metadata), put(dataset.labels))
+    return (put(dataset.images, image_dtype), put(dataset.metadata),
+            put(dataset.labels))
 
 
 def make_eval_step(model, config):

@@ -126,7 +126,10 @@ def run_training(
     device_data = bool(config.get("device_data", False)) and mesh is None
     if device_data:
         from .steps import make_device_train_step, put_dataset_on_device
-        dev_images, dev_metadata, dev_labels = put_dataset_on_device(train_ds)
+        image_dtype = config.get("device_data_dtype")
+        dev_images, dev_metadata, dev_labels = put_dataset_on_device(
+            train_ds,
+            image_dtype=jnp.dtype(image_dtype) if image_dtype else None)
         train_step = make_device_train_step(
             model, tx, config, dev_images, dev_metadata, dev_labels)
     else:

@@ -158,6 +158,7 @@ def main():
             "batch_size": 1024, "epochs": args.epochs,
             "warmup_epochs": 2, "patience": 8, "random_seed": 2,
             "use_test_split": True, "device_data": True,
+            "device_data_dtype": "bfloat16",  # halve the one-time upload
             "compute_dtype": "bfloat16",
             "data_aug_h_flip": True, "data_aug_v_flip": True,
             "data_aug_rot": True,

@@ -228,6 +228,16 @@ def test_device_data_path_matches_host_path(tmp_path):
     np.testing.assert_allclose(r1["history"]["val_loss"],
                                r2["history"]["val_loss"], rtol=1e-5)
 
+    # narrow-dtype device staging (device_data_dtype) trains and converges
+    # comparably (pixel quantization only; not bit-identical)
+    config_bf16 = normalize_config({**SMALL_CFG, "epochs": 2,
+                                    "device_data": True,
+                                    "device_data_dtype": "bfloat16"})
+    r3 = run_training(config_bf16, run_name="db",
+                      out_root=str(tmp_path / "db"), **kwargs)
+    np.testing.assert_allclose(r3["history"]["train_loss"],
+                               r2["history"]["train_loss"], rtol=0.05)
+
 
 def test_training_is_deterministic_per_seed(tmp_path):
     config = normalize_config({**SMALL_CFG, "epochs": 2})
