@@ -15,7 +15,15 @@ the loop body) and timing is fenced by a host readback of the result.
 """
 
 import json
+import os
 import time
+
+# Measured flag sweep (scripts/perf_sweep.py, docs/perf_sweep.json): a 32 MB
+# scoped-VMEM limit gives +1-2% over the default at BTSbot shapes (better
+# fusion sizing for the 15x15x64 stage); other candidate flags were neutral
+# or negative.  Must be set before the TPU backend initializes.
+os.environ.setdefault("LIBTPU_INIT_ARGS",
+                      "--xla_tpu_scoped_vmem_limit_kib=32768")
 
 import numpy as np
 
