@@ -273,6 +273,66 @@ def _convert_mm_convnext(config: Config, sd) -> dict:
             "batch_stats": {"metadata_branch": meta_stats}}
 
 
+def _convert_frozen_fusion(config: Config, sd) -> dict:
+    """frozen_fusion checkpoints: branch modules keep their standalone attr
+    names under ``image_branch.`` / ``meta_branch.`` prefixes, heads
+    stripped per architectures.py:297-320 (um_cnn head→Identity, ConvNeXt
+    keeps head.1 norm, MaxViT keeps pool only, um_nn drops trailing
+    ReLU+Linear), plus a fresh ``combined_head`` (architectures.py:359-367).
+    """
+    from ..models.fusion import resolve_fusion_config
+
+    cfg = resolve_fusion_config(dict(config))
+    img_cfg = normalize_config(cfg["image_model_config"])
+    meta_cfg = normalize_config(cfg["meta_model_config"])
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    img_name = img_cfg["model_name"]
+    if img_name == "um_cnn":
+        params["image_branch"] = {"backbone": {
+            "conv1a": t_conv(sd, "image_branch.conv_layers.0"),
+            "conv1b": t_conv(sd, "image_branch.conv_layers.2"),
+            "conv2a": t_conv(sd, "image_branch.conv_layers.6"),
+            "conv2b": t_conv(sd, "image_branch.conv_layers.8"),
+        }}
+    elif img_name == "ConvNeXt":
+        params["image_branch"] = {
+            "backbone": _convnext_backbone_params(
+                sd, "image_branch.convnext",
+                img_cfg.get("model_kind", "convnext_nano.d1h_in1k")),
+            "head_norm": t_norm_affine(sd, "image_branch.convnext.head.1"),
+        }
+    elif img_name == "MaxViT":
+        from .maxvit_convert import apply_key_aliases, maxvit_backbone_to_flax
+        b_params, b_stats = maxvit_backbone_to_flax(
+            apply_key_aliases(sd), "image_branch.maxvit",
+            img_cfg.get("model_kind", "maxvit_tiny_rw_224.sw_in1k"))
+        params["image_branch"] = {"backbone": b_params}
+        stats["image_branch"] = {"backbone": b_stats}
+    else:
+        raise NotImplementedError(
+            f"frozen_fusion image branch {img_name} has no converter")
+
+    params["meta_branch"] = {
+        "bn": t_norm_affine(sd, "meta_branch.network.0"),
+        "fc1": t_linear(sd, "meta_branch.network.1"),
+        "fc2": t_linear(sd, "meta_branch.network.4"),
+    }
+    stats["meta_branch"] = {"bn": t_bn_stats(sd, "meta_branch.network.0")}
+
+    # um_cnn branch features are an NCHW flatten in the reference (head →
+    # Identity after the conv stack) — re-permute combined_head.0's input
+    fc1_in = _np(sd["combined_head.0.weight"]).shape[1]
+    in_perm = _head_perm(img_cfg, fc1_in) if img_name == "um_cnn" else None
+    params["combined_head"] = {
+        "fc1": t_linear(sd, "combined_head.0", in_perm=in_perm),
+        "fc2": t_linear(sd, "combined_head.2"),
+        "out": t_linear(sd, "combined_head.5"),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
 def _convert_maxvit(config, sd):
     from .maxvit_convert import convert_maxvit
     return convert_maxvit(config, sd)
@@ -291,6 +351,7 @@ _CONVERTERS = {
     "mm_ConvNeXt": _convert_mm_convnext,
     "MaxViT": _convert_maxvit,
     "mm_MaxViT": _convert_mm_maxvit,
+    "frozen_fusion": _convert_frozen_fusion,
 }
 
 

@@ -171,6 +171,54 @@ def _export_mm_convnext(config: Config, variables: Mapping) -> dict:
     return sd
 
 
+def _export_frozen_fusion(config: Config, variables: Mapping) -> dict:
+    """Inverse of convert._convert_frozen_fusion (branch modules under
+    image_branch./meta_branch. with the reference's head stripping)."""
+    from ..core.config import normalize_config as _norm
+    from ..models.fusion import resolve_fusion_config
+
+    cfg = resolve_fusion_config(dict(config))
+    img_cfg = _norm(cfg["image_model_config"])
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    sd: dict[str, Any] = {}
+
+    img_name = img_cfg["model_name"]
+    img = p["image_branch"]
+    if img_name == "um_cnn":
+        inv_conv(sd, "image_branch.conv_layers.0", img["backbone"]["conv1a"])
+        inv_conv(sd, "image_branch.conv_layers.2", img["backbone"]["conv1b"])
+        inv_conv(sd, "image_branch.conv_layers.6", img["backbone"]["conv2a"])
+        inv_conv(sd, "image_branch.conv_layers.8", img["backbone"]["conv2b"])
+    elif img_name == "ConvNeXt":
+        _export_convnext_backbone(
+            sd, "image_branch.convnext", img["backbone"],
+            img_cfg.get("model_kind", "convnext_nano.d1h_in1k"))
+        inv_norm(sd, "image_branch.convnext.head.1", img["head_norm"])
+    elif img_name == "MaxViT":
+        from .maxvit_convert import maxvit_backbone_to_torch
+        maxvit_backbone_to_torch(
+            sd, "image_branch.maxvit", img["backbone"],
+            s["image_branch"]["backbone"],
+            img_cfg.get("model_kind", "maxvit_tiny_rw_224.sw_in1k"))
+    else:
+        raise NotImplementedError(
+            f"frozen_fusion image branch {img_name} has no exporter")
+
+    inv_bn(sd, "meta_branch.network.0", p["meta_branch"]["bn"],
+           s["meta_branch"]["bn"])
+    inv_linear(sd, "meta_branch.network.1", p["meta_branch"]["fc1"])
+    inv_linear(sd, "meta_branch.network.4", p["meta_branch"]["fc2"])
+
+    fc1_in = _np(p["combined_head"]["fc1"]["kernel"]).shape[0]
+    in_perm = _head_perm(img_cfg, fc1_in) if img_name == "um_cnn" else None
+    inv_linear(sd, "combined_head.0", p["combined_head"]["fc1"],
+               in_perm=in_perm)
+    inv_linear(sd, "combined_head.2", p["combined_head"]["fc2"])
+    inv_linear(sd, "combined_head.5", p["combined_head"]["out"])
+    return sd
+
+
 def _export_maxvit(config, variables):
     from .maxvit_convert import export_maxvit
     return export_maxvit(config, variables)
@@ -189,6 +237,7 @@ _EXPORTERS = {
     "mm_ConvNeXt": _export_mm_convnext,
     "MaxViT": _export_maxvit,
     "mm_MaxViT": _export_mm_maxvit,
+    "frozen_fusion": _export_frozen_fusion,
 }
 
 

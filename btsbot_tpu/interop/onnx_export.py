@@ -165,15 +165,16 @@ def _mlp_head(b: OnnxBuilder, x: str, sd, keys: tuple[str, str, str],
     return b.gemm(x, sd, keys[2])
 
 
-def _cnn_backbone(b: OnnxBuilder, x: str, sd, config) -> str:
+def _cnn_backbone(b: OnnxBuilder, x: str, sd, config, prefix: str = "") -> str:
     """VGG-style 2-block CNN → NCHW flatten (architectures.py:180-202)."""
     k = int(config["conv_kernel"])
     p = (k - 1) // 2  # torch padding='same' for odd kernels
-    x = b.n("Relu", [b.conv(x, sd, "conv_layers.0", pads=(p, p))])
-    x = b.n("Relu", [b.conv(x, sd, "conv_layers.2", pads=(p, p))])
+    pre = f"{prefix}conv_layers"
+    x = b.n("Relu", [b.conv(x, sd, f"{pre}.0", pads=(p, p))])
+    x = b.n("Relu", [b.conv(x, sd, f"{pre}.2", pads=(p, p))])
     x = b.n("MaxPool", [x], kernel_shape=[2, 2], strides=[2, 2])
-    x = b.n("Relu", [b.conv(x, sd, "conv_layers.6", pads=(p, p))])
-    x = b.n("Relu", [b.conv(x, sd, "conv_layers.8", pads=(p, p))])
+    x = b.n("Relu", [b.conv(x, sd, f"{pre}.6", pads=(p, p))])
+    x = b.n("Relu", [b.conv(x, sd, f"{pre}.8", pads=(p, p))])
     x = b.n("MaxPool", [x], kernel_shape=[4, 4], strides=[4, 4])
     return b.n("Flatten", [x], axis=1)
 
@@ -405,6 +406,34 @@ def _build_graph(config: Config, sd) -> OnnxBuilder:
         logits = _mlp_head(
             b, x, sd, ("combined_head.0", "combined_head.2",
                        "combined_head.5"), "gelu")
+    elif name == "frozen_fusion":
+        from ..models.fusion import resolve_fusion_config
+        cfg = resolve_fusion_config(dict(config))
+        img_cfg = normalize_config(cfg["image_model_config"])
+        img_name = img_cfg["model_name"]
+        if img_name == "um_cnn":
+            # head → Identity; emitted combined_head weights are in
+            # NCHW-flatten order, matching this graph's Flatten
+            x = _cnn_backbone(b, img, sd, img_cfg, prefix="image_branch.")
+        elif img_name == "ConvNeXt":
+            x = _convnext_backbone(b, img, sd, "image_branch.convnext",
+                                   img_cfg["model_kind"])
+            x = _pool_norm_flatten(b, x, sd, "image_branch.convnext.head.1")
+        elif img_name == "MaxViT":
+            x = _maxvit_backbone(b, img, sd, "image_branch.maxvit",
+                                 img_cfg["model_kind"])
+        else:
+            raise NotImplementedError(
+                f"frozen_fusion image branch {img_name}")
+        # head-stripped um_nn: BN → fc1 → ReLU → (Dropout) → fc2, no
+        # trailing activation (architectures.py:300-302)
+        m = b.bn(meta, sd, "meta_branch.network.0", eps=1e-5)
+        m = b.n("Relu", [b.gemm(m, sd, "meta_branch.network.1")])
+        m = b.gemm(m, sd, "meta_branch.network.4")
+        x = b.n("Concat", [x, m], axis=1)
+        logits = _mlp_head(
+            b, x, sd, ("combined_head.0", "combined_head.2",
+                       "combined_head.5"), "relu")
     else:
         raise NotImplementedError(f"No ONNX emitter for model {name}")
 
