@@ -107,12 +107,11 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8) -> dict:
     ingest+forward → scores, through the pipelined stream scorer.  This is
     wall-clock honest end to end — the final readback forces completion of
     every dispatched batch."""
-    import gzip
     import os
 
     from __graft_entry__ import FLAGSHIP_CONFIG
-    from btsbot_tpu import init_model, normalize_config
-    from btsbot_tpu.data.fits import write_fits_image
+    from btsbot_tpu import normalize_config
+    from btsbot_tpu.data.synthetic import synthetic_packets
     from btsbot_tpu.engine.serve import AlertStreamScorer
 
     config = normalize_config(FLAGSHIP_CONFIG)
@@ -122,18 +121,9 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8) -> dict:
     scorer = AlertStreamScorer(config, variables, batch_size=batch,
                                transfer_dtype=jnp.bfloat16)
 
-    rng = np.random.default_rng(0)
-    blob = gzip.compress(write_fits_image(
-        rng.normal(size=(63, 63)).astype(np.float32)))
-
-    def packet():
-        return {"candidate": {c: float(rng.normal())
-                              for c in config["metadata_cols"]},
-                **{k: {"stampData": blob}
-                   for k in ("cutoutScience", "cutoutTemplate",
-                             "cutoutDifference")}}
-
-    batches = [[packet() for _ in range(batch)] for _ in range(n_batches)]
+    stream = synthetic_packets(batch * n_batches, config["metadata_cols"])
+    packets = list(stream)
+    batches = [packets[i * batch:(i + 1) * batch] for i in range(n_batches)]
 
     # measure host decode alone (the expected single-core bottleneck)
     t0 = time.perf_counter()

@@ -67,6 +67,24 @@ class Config(dict):
     def need_metadata(self) -> bool:
         return self.model_category in ("metadata", "multimodal")
 
+    @property
+    def model_kind(self) -> str:
+        """Backbone model string, with the same per-family defaults the
+        model builders use (models/convnext.py, models/maxvit.py) so every
+        config consumer (export, pretrained init, converters) resolves the
+        identical backbone for a config that omits the key."""
+        kind = self.get("model_kind")
+        if kind:
+            return kind
+        name = self.get("model_name", "")
+        if "ConvNeXt" in name:
+            return "convnext_nano.d1h_in1k"
+        if "MaxViT" in name:
+            return "maxvit_tiny_rw_224.sw_in1k"
+        raise KeyError(
+            f"model_kind is not set and model {name!r} has no backbone "
+            f"default")
+
 
 def normalize_config(raw: Mapping[str, Any]) -> Config:
     cfg = Config(_DEFAULTS)

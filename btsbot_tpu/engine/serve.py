@@ -313,15 +313,25 @@ class AlertStreamConsumer:
         if isinstance(source, _queue.Queue):
             self._queue = source
         else:
-            # wrap an iterable in a bounded feeder queue (backpressure)
+            # wrap an iterable in a bounded feeder queue (backpressure);
+            # puts poll the stop flag so stop() can never strand the feeder
+            # thread on a full queue
             self._queue = _queue.Queue(maxsize=4 * self.max_batch)
+
+            def put_or_stop(item) -> bool:
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(item, timeout=0.2)
+                        return True
+                    except _queue.Full:
+                        continue
+                return False
 
             def feed(it):
                 for p in it:
-                    if self._stop.is_set():
-                        break
-                    self._queue.put(p)
-                self._queue.put(None)
+                    if not put_or_stop(p):
+                        return
+                put_or_stop(None)
 
             self._feeder = threading.Thread(target=feed, args=(source,),
                                             daemon=True)

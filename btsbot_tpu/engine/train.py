@@ -99,13 +99,11 @@ def run_training(
         from ..models.fusion import load_fusion_branches
         variables = load_fusion_branches(config, variables)
         log("Loaded frozen-fusion branch weights from model dirs")
-    elif config.get("backbone_checkpoint") or (
-            config.get("pretrained", False)
-            and config["model_name"] in ("ConvNeXt", "mm_ConvNeXt",
-                                         "MaxViT", "mm_MaxViT")):
+    elif config.get("backbone_checkpoint") or config.get("pretrained"):
         # reference recipe: backbones start from pretrained timm/zoobot
-        # weights (architectures.py:31,62,108,132) — here via an explicit
-        # local backbone checkpoint, or timm when importable
+        # weights (architectures.py:31,62,108,132) — via an explicit local
+        # backbone checkpoint, or timm when importable; the hook itself
+        # decides which model families qualify (pretrained.BACKBONE_MODELS)
         from ..interop.pretrained import maybe_init_pretrained
         variables = maybe_init_pretrained(config, variables, log=log)
     tx = make_optimizer(config, steps_per_epoch)

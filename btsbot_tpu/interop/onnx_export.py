@@ -377,14 +377,14 @@ def _build_graph(config: Config, sd) -> OnnxBuilder:
             b, x, sd, ("combined_head.0", "combined_head.2",
                        "combined_head.5"), "relu")
     elif name == "ConvNeXt":
-        x = _convnext_backbone(b, img, sd, "convnext", config["model_kind"])
+        x = _convnext_backbone(b, img, sd, "convnext", config.model_kind)
         x = _pool_norm_flatten(b, x, sd, "convnext.head.1")
         logits = _mlp_head(
             b, x, sd, ("convnext.head.3", "convnext.head.5",
                        "convnext.head.8"), "gelu")
     elif name == "mm_ConvNeXt":
         x = _convnext_backbone(b, img, sd, "convnext_backbone",
-                               config["model_kind"])
+                               config.model_kind)
         if "LS" in config.get("train_data_version", ""):
             x = _pool_norm_flatten(b, x, sd, "convnext_backbone.head.1")
         else:
@@ -395,12 +395,12 @@ def _build_graph(config: Config, sd) -> OnnxBuilder:
             b, x, sd, ("combined_head.0", "combined_head.2",
                        "combined_head.5"), "gelu")
     elif name == "MaxViT":
-        x = _maxvit_backbone(b, img, sd, "maxvit", config["model_kind"])
+        x = _maxvit_backbone(b, img, sd, "maxvit", config.model_kind)
         logits = _mlp_head(b, x, sd, ("maxvit.head.1", "maxvit.head.3",
                                       "maxvit.head.6"), "gelu")
     elif name == "mm_MaxViT":
         x = _maxvit_backbone(b, img, sd, "maxvit_backbone",
-                             config["model_kind"])
+                             config.model_kind)
         m = _metadata_branch(b, meta, sd, "metadata_branch", "gelu")
         x = b.n("Concat", [x, m], axis=1)
         logits = _mlp_head(

@@ -111,7 +111,7 @@ def backbone_variables(config, state_dict: Mapping[str, Any],
             f"{sorted(BACKBONE_MODELS)} wrap timm backbones in the "
             f"reference recipe)")
     sd = normalize_backbone_keys(state_dict)
-    model_kind = config["model_kind"]
+    model_kind = config.model_kind
     if validate:
         # backbone-only manifest: classifier layout varies by pretraining
         # corpus (1k imagenet vs galaxyzoo regression head), so head.* keys
@@ -120,9 +120,21 @@ def backbone_variables(config, state_dict: Mapping[str, Any],
         report["unexpected"] = [k for k in report["unexpected"]
                                 if not k.startswith("head.")]
         if report["missing"] or report["unexpected"] or report["mismatched"]:
-            raise UnconsumedKeysError(
-                report["missing"] + report["unexpected"]
-                + [k for k, *_ in report["mismatched"]], len(sd))
+            parts = []
+            if report["missing"]:
+                parts.append(f"missing: {', '.join(report['missing'][:8])}")
+            if report["unexpected"]:
+                parts.append(
+                    f"unexpected: {', '.join(report['unexpected'][:8])}")
+            if report["mismatched"]:
+                parts.append("shape mismatches: " + ", ".join(
+                    f"{k} {got}!={want}"
+                    for k, got, want in report["mismatched"][:8]))
+            raise ValueError(
+                f"Backbone checkpoint does not match the {model_kind} "
+                f"manifest — {'; '.join(parts)}. Correct the checkpoint / "
+                f"model_kind, or pass validate=False to attempt the raw "
+                f"conversion (which still refuses to half-load).")
 
     tracked = TrackedStateDict(sd)
     fragment: dict[str, Any] = {"params": {}, "batch_stats": {}}
@@ -189,7 +201,7 @@ def fetch_timm_backbone(config) -> dict[str, np.ndarray] | None:
         return None
     import timm
 
-    model = timm.create_model(config["model_kind"], pretrained=True)
+    model = timm.create_model(config.model_kind, pretrained=True)
     return {k: v.detach().cpu().numpy()
             for k, v in model.state_dict().items()}
 
@@ -219,7 +231,7 @@ def maybe_init_pretrained(config, variables, log=print) -> dict:
         sd = fetch_timm_backbone(config)
         if sd is not None:
             variables = init_from_backbone_checkpoint(config, variables, sd)
-            log(f"Initialized backbone from timm {config['model_kind']} "
+            log(f"Initialized backbone from timm {config.model_kind} "
                 f"(pretrained=true)")
         else:
             log("pretrained=true but timm is unavailable and no "

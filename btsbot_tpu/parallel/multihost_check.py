@@ -26,9 +26,16 @@ import sys
 
 def run_worker(process_id: int, num_processes: int, port: int,
                devices_per_process: int = 2) -> dict:
-    """Execute the multi-host check in THIS process (which must have been
-    launched with JAX_PLATFORMS=cpu and the virtual-device XLA flag; see
-    main()).  Returns {'loss': float, 'global_devices': int}."""
+    """Execute the multi-host check in THIS process.  jax must not have
+    initialized a backend yet: the virtual-device count is applied through
+    XLA_FLAGS here, before the first backend use.
+    Returns {'loss': float, 'global_devices': int}."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{devices_per_process}").strip()
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -52,6 +59,9 @@ def run_worker(process_id: int, num_processes: int, port: int,
     from .mesh import batch_sharding, make_mesh
 
     assert jax.process_count() == num_processes
+    assert jax.local_device_count() == devices_per_process, (
+        f"{jax.local_device_count()} local devices != requested "
+        f"{devices_per_process} (was a backend already initialized?)")
     global_devices = jax.device_count()
 
     config = normalize_config({

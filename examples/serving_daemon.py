@@ -20,31 +20,14 @@ iterable of alert dicts (or feed a bounded queue.Queue and pass that).
 from __future__ import annotations
 
 import argparse
-import gzip
 import json
 import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def synthetic_packets(n: int, meta_cols):
-    from btsbot_tpu.data.fits import write_fits_image
-
-    rng = np.random.default_rng(0)
-    blob = gzip.compress(write_fits_image(
-        rng.normal(size=(63, 63)).astype(np.float32)))
-    for i in range(n):
-        yield {
-            "candid": i,
-            "candidate": {c: float(rng.normal()) for c in meta_cols},
-            **{k: {"stampData": blob}
-               for k in ("cutoutScience", "cutoutTemplate",
-                         "cutoutDifference")},
-        }
+from btsbot_tpu.data.synthetic import synthetic_packets  # noqa: E402
 
 
 def main():

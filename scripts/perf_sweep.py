@@ -67,7 +67,7 @@ FLAG_SETS = {
     "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
     "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
     "vmem_96m": "--xla_tpu_scoped_vmem_limit_kib=98304",
-    "no_rematerialization": "--xla_tpu_enable_aggressive_broadcast_priority_update=true",
+    "aggressive_broadcast_priority": "--xla_tpu_enable_aggressive_broadcast_priority_update=true",
     "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
 }
 

@@ -102,11 +102,15 @@ def test_zoobot_style_backbone_only_checkpoint():
 def test_drifted_checkpoint_refuses_to_half_load():
     sd = _timm_checkpoint(seed=3)
     sd["stages.0.blocks.0.novel_rw_extra.weight"] = np.zeros(3, np.float32)
-    with pytest.raises(UnconsumedKeysError, match="novel_rw_extra"):
+    with pytest.raises(ValueError, match="novel_rw_extra"):
         backbone_variables(MM_CONVNEXT_CFG, sd)
+    # validate=False skips the manifest report but strict conversion
+    # accounting still refuses the unconsumed key
+    with pytest.raises(UnconsumedKeysError, match="novel_rw_extra"):
+        backbone_variables(MM_CONVNEXT_CFG, sd, validate=False)
     sd2 = _timm_checkpoint(seed=3)
     del sd2["stem.0.weight"]
-    with pytest.raises(UnconsumedKeysError, match="stem.0.weight"):
+    with pytest.raises(ValueError, match="stem.0.weight"):
         backbone_variables(MM_CONVNEXT_CFG, sd2)
 
 
