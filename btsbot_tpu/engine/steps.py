@@ -26,7 +26,11 @@ from .loss import weighted_bce_with_logits
 from .state import TrainState
 
 
-def make_train_step(model, tx, config):
+def make_train_step(model, tx, config, donate: bool = False):
+    """donate=True donates the input TrainState's buffers to the update
+    (in-place param/optimizer memory, no copy per step) — use in training
+    loops that immediately rebind the state; leave False when the caller
+    inspects the pre-step state afterwards."""
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata
     aug_flags = dict(
@@ -36,7 +40,10 @@ def make_train_step(model, tx, config):
     )
     do_augment = need_triplets and any(aug_flags.values())
 
-    @jax.jit
+    jit = functools.partial(jax.jit, donate_argnums=(0,)) if donate \
+        else jax.jit
+
+    @jit
     def train_step(state: TrainState, images, metadata, labels, pos_weight):
         step_rng = jax.random.fold_in(state.rng, state.step)
         aug_rng, dropout_rng = jax.random.split(step_rng)
@@ -74,8 +81,11 @@ def make_train_step(model, tx, config):
             opt_state=new_opt_state,
         )
         scores = jax.nn.sigmoid(logits.reshape(-1).astype(jnp.float32))
+        # accuracy numerator computed in-graph so the host loop never has
+        # to synchronize per batch (it reads the epoch's scalars at the end)
+        correct = jnp.sum((scores > 0.5) == (labels.reshape(-1) > 0.5))
         return new_state, {"loss": loss, "logits": logits.reshape(-1),
-                           "scores": scores}
+                           "scores": scores, "correct": correct}
 
     return train_step
 
@@ -95,7 +105,7 @@ def make_device_train_step(model, tx, config, images, metadata, labels):
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def device_train_step(state: TrainState, idx, pos_weight):
         img = jnp.take(images, idx, axis=0) if need_triplets else None
         meta = jnp.take(metadata, idx, axis=0) if need_metadata else None

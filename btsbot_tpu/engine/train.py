@@ -131,7 +131,8 @@ def run_training(
         train_step = make_device_train_step(
             model, tx, config, dev_images, dev_metadata, dev_labels)
     else:
-        train_step = make_train_step(model, tx, config)
+        # the loop rebinds state every step, so donate its buffers
+        train_step = make_train_step(model, tx, config, donate=True)
 
     run_model_name = (f"{config['model_name']}_{config['train_data_version']}"
                       f"_N{config.get('N_max', 100)}_tpu")
@@ -174,8 +175,11 @@ def run_training(
     final_epoch = max(start_epoch - 1, 0)
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        # loss/correct stay device scalars until the end of the epoch: the
+        # host never synchronizes per batch, so step dispatch runs ahead of
+        # the device (and of high-latency links) while batches assemble
         losses = []
-        correct = 0
+        corrects = []
         seen = 0
         if device_data:
             order = np.arange(len(train_ds))
@@ -184,12 +188,10 @@ def run_training(
             for b in range(n_steps):
                 idx = jnp.asarray(
                     order[b * batch_size:(b + 1) * batch_size], jnp.int32)
-                labels = train_ds.labels[np.asarray(idx)]
                 state, m = train_step(state, idx, pos_weight_dev)
                 losses.append(m["loss"])
-                scores = np.asarray(m["scores"])
-                correct += int(np.sum((scores > 0.5) == (labels > 0.5)))
-                seen += labels.size
+                corrects.append(m["correct"])
+                seen += batch_size
         else:
             for images, metadata, labels in iterate_batches(
                     train_ds, batch_size, shuffle=True, drop_last=True,
@@ -197,11 +199,10 @@ def run_training(
                 state, m = train_step(state, put(images), put(metadata),
                                       put(labels), pos_weight_dev)
                 losses.append(m["loss"])
-                scores = np.asarray(m["scores"])
-                correct += int(np.sum((scores > 0.5) == (labels > 0.5)))
-                seen += labels.size
+                corrects.append(m["correct"])
+                seen += len(labels)
         epoch_train_loss = float(np.mean([float(x) for x in losses]))
-        epoch_train_acc = correct / max(1, seen)
+        epoch_train_acc = int(sum(int(c) for c in corrects)) / max(1, seen)
         train_losses[epoch] = epoch_train_loss
         train_accs[epoch] = epoch_train_acc
 
