@@ -85,7 +85,9 @@ def decode_stamps(
     Uses the native decoder when available, the Python fallback otherwise.
     """
     n = len(blobs)
-    out = np.empty((n, out_size, out_size), dtype=np.float32)
+    # zeros, not empty: a failed decode returns early without writing its
+    # output plane, which must stay deterministic (not uninitialized memory)
+    out = np.zeros((n, out_size, out_size), dtype=np.float32)
     status = np.zeros(n, dtype=np.int32)
 
     lib = load_library()

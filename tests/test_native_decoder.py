@@ -50,3 +50,35 @@ def test_native_library_loaded():
     # On CI hosts with a toolchain the native path must actually be in use.
     from btsbot_tpu.native import load_library
     assert load_library() is not None
+
+
+@pytest.mark.skipif(not native_available(), reason="native lib unavailable")
+def test_decoder_survives_mutated_blobs():
+    """The decoder parses untrusted broker bytes: random truncations and
+    byte flips of a valid gzip+FITS blob must produce status codes, never
+    crashes or out-of-bounds reads."""
+    rng = np.random.default_rng(7)
+    good = gzip.compress(write_fits_image(
+        rng.normal(size=(63, 63)).astype(np.float32)))
+
+    blobs = [good]
+    for _ in range(200):
+        b = bytearray(good)
+        kind = rng.integers(0, 3)
+        if kind == 0:  # truncate
+            b = b[:rng.integers(0, len(b))]
+        elif kind == 1:  # flip random bytes
+            for _ in range(rng.integers(1, 16)):
+                b[rng.integers(0, len(b))] ^= int(rng.integers(1, 256))
+        else:  # garbage prefix/suffix
+            b = bytes(rng.integers(0, 256, rng.integers(1, 64),
+                                   dtype=np.uint8)) + bytes(b)
+        blobs.append(bytes(b))
+
+    out, status = decode_stamps(blobs)
+    assert out.shape == (len(blobs), 63, 63)
+    assert status[0] == 0
+    assert set(np.unique(status)) <= {0, 1, 2, 3}
+    # successfully decoded outputs are always finite-or-nan floats with no
+    # uninitialized memory (every failed decode leaves deterministic zeros)
+    assert np.all(out[status != 0] == 0)

@@ -107,3 +107,25 @@ def test_alert_scorer_mesh_sharded():
     with sharded.mesh:
         s2 = sharded(ds.images, ds.metadata)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
+
+
+def test_multichip_serving_matches_single_device():
+    """AlertScorer over the 8-device mesh returns the same scores as the
+    single-device path (multi-chip serving data sharding)."""
+    import jax.numpy as jnp
+
+    from btsbot_tpu import init_model, normalize_config
+    from btsbot_tpu.engine.serve import AlertScorer
+    from test_engine import SMALL_CFG
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    rng = np.random.default_rng(0)
+    trips = rng.normal(size=(19, 63, 63, 3)).astype(np.float32)
+    meta = rng.normal(size=(19, 25)).astype(np.float32)
+
+    single = AlertScorer(config, variables, batch_size=8, dtype=jnp.float32)
+    sharded = AlertScorer(config, variables, batch_size=8,
+                          dtype=jnp.float32, mesh=make_mesh(model=1))
+    np.testing.assert_allclose(sharded(trips, meta), single(trips, meta),
+                               rtol=1e-6, atol=1e-7)
