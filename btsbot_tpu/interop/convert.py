@@ -210,6 +210,7 @@ def _convnext_backbone_params(sd, prefix: str, model_kind: str) -> dict:
     """timm ConvNeXt naming: stem.{0,1}, stages.{s}.downsample.{0,1},
     stages.{s}.blocks.{b}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma}."""
     spec = convnext_spec(model_kind)
+    inception = spec.get("token_mixer", "dwconv7") == "inception"
     p = f"{prefix}." if prefix else ""
     out: dict[str, Any] = {
         "stem_conv": t_conv(sd, f"{p}stem.0"),
@@ -223,12 +224,21 @@ def _convnext_backbone_params(sd, prefix: str, model_kind: str) -> dict:
             stage["downsample_conv"] = t_conv(sd, f"{p}stages.{s}.downsample.1")
         for b in range(depth):
             bp = f"{p}stages.{s}.blocks.{b}"
-            block = {
-                "conv_dw": t_conv(sd, f"{bp}.conv_dw"),
+            block: dict[str, Any] = {
                 "norm": t_norm_affine(sd, f"{bp}.norm"),
                 "mlp_fc1": t_linear(sd, f"{bp}.mlp.fc1"),
                 "mlp_fc2": t_linear(sd, f"{bp}.mlp.fc2"),
             }
+            if inception:
+                # TPU-native inceptionnext_* kinds (models/convnext.py
+                # InceptionMixer): our own key naming, no timm counterpart
+                block["mixer"] = {
+                    "dw_square": t_conv(sd, f"{bp}.mixer.dw_square"),
+                    "dw_band_w": t_conv(sd, f"{bp}.mixer.dw_band_w"),
+                    "dw_band_h": t_conv(sd, f"{bp}.mixer.dw_band_h"),
+                }
+            else:
+                block["conv_dw"] = t_conv(sd, f"{bp}.conv_dw")
             if f"{bp}.gamma" in sd:
                 block["gamma"] = _np(sd[f"{bp}.gamma"]).copy()
             stage[f"block{b}"] = block

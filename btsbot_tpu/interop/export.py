@@ -134,7 +134,11 @@ def _export_convnext_backbone(sd: dict, prefix: str, params: Mapping,
         for b in range(depth):
             block = stage[f"block{b}"]
             bp = f"{pfx}stages.{si}.blocks.{b}"
-            inv_conv(sd, f"{bp}.conv_dw", block["conv_dw"])
+            if "mixer" in block:  # TPU-native inceptionnext_* kinds
+                for leaf in ("dw_square", "dw_band_w", "dw_band_h"):
+                    inv_conv(sd, f"{bp}.mixer.{leaf}", block["mixer"][leaf])
+            else:
+                inv_conv(sd, f"{bp}.conv_dw", block["conv_dw"])
             inv_norm(sd, f"{bp}.norm", block["norm"])
             inv_linear(sd, f"{bp}.mlp.fc1", block["mlp_fc1"])
             inv_linear(sd, f"{bp}.mlp.fc2", block["mlp_fc2"])

@@ -179,6 +179,27 @@ def _cnn_backbone(b: OnnxBuilder, x: str, sd, config, prefix: str = "") -> str:
     return b.n("Flatten", [x], axis=1)
 
 
+def _channel_slice(b: OnnxBuilder, x: str, start: int, end: int) -> str:
+    return b.n("Slice", [
+        x, b.init(np.asarray([start], np.int64), "starts"),
+        b.init(np.asarray([end], np.int64), "ends"),
+        b.init(np.asarray([1], np.int64), "axes")])
+
+
+def _inception_mixer(b: OnnxBuilder, x: str, sd, bp: str, dim: int) -> str:
+    g = max(1, dim // 8)
+    band = np.asarray(sd[f"{bp}.mixer.dw_band_w.weight"]).shape[-1]
+    pad = (band - 1) // 2
+    y0 = b.conv(_channel_slice(b, x, 0, g), sd, f"{bp}.mixer.dw_square",
+                pads=(1, 1), group=g)
+    y1 = b.conv(_channel_slice(b, x, g, 2 * g), sd, f"{bp}.mixer.dw_band_w",
+                pads=(0, pad), group=g)
+    y2 = b.conv(_channel_slice(b, x, 2 * g, 3 * g), sd,
+                f"{bp}.mixer.dw_band_h", pads=(pad, 0), group=g)
+    rest = _channel_slice(b, x, 3 * g, dim)
+    return b.n("Concat", [y0, y1, y2, rest], axis=1)
+
+
 def _convnext_backbone(b: OnnxBuilder, x: str, sd, prefix: str,
                        model_kind: str) -> str:
     """timm ConvNeXt stages in NCHW with NHWC norm/MLP islands; returns the
@@ -198,7 +219,12 @@ def _convnext_backbone(b: OnnxBuilder, x: str, sd, prefix: str,
         for blk in range(depth):
             bp = f"{p}stages.{s}.blocks.{blk}"
             dim = spec["dims"][s]
-            h = b.conv(x, sd, f"{bp}.conv_dw", pads=(3, 3), group=dim)
+            if f"{bp}.mixer.dw_square.weight" in sd:
+                # TPU-native InceptionNeXt mixer (models/convnext.py):
+                # channel split → dw3×3 / dw1×11 / dw11×1 / identity
+                h = _inception_mixer(b, x, sd, bp, dim)
+            else:
+                h = b.conv(x, sd, f"{bp}.conv_dw", pads=(3, 3), group=dim)
             t = b.transpose(h, (0, 2, 3, 1))
             t = b.layernorm(t, sd, f"{bp}.norm", eps=1e-6)
             t = b.matmul_bias(t, sd[f"{bp}.mlp.fc1.weight"],

@@ -61,25 +61,73 @@ CONVNEXT_CONFIGS: dict[str, dict] = {
 
 def convnext_spec(model_kind: str) -> dict:
     """Resolve a timm-style model string (e.g. 'convnext_pico.d1_in1k' or
-    'mwalmsley/zoobot-encoder-convnext_pico') to depths/dims."""
+    'mwalmsley/zoobot-encoder-convnext_pico') to depths/dims.
+
+    TPU-native ``inceptionnext_<size>`` kinds reuse the matching ConvNeXt
+    size but swap the 7x7 depthwise token mixer for the decomposed
+    InceptionNeXt mixer (see InceptionMixer) — train-from-scratch variants,
+    not convertible from timm ConvNeXt checkpoints."""
+    m = re.search(r"inceptionnext_([a-z]+)", model_kind)
+    if m:
+        base = f"convnext_{m.group(1)}"
+        if base not in CONVNEXT_CONFIGS:
+            raise ValueError(
+                f"Unknown InceptionNeXt variant in model_kind: {model_kind}")
+        return {**CONVNEXT_CONFIGS[base], "token_mixer": "inception"}
     m = re.search(r"(convnext_[a-z]+)", model_kind)
     if not m or m.group(1) not in CONVNEXT_CONFIGS:
         raise ValueError(f"Unknown ConvNeXt variant in model_kind: {model_kind}")
     return CONVNEXT_CONFIGS[m.group(1)]
 
 
+class InceptionMixer(nn.Module):
+    """InceptionNeXt-style decomposed token mixer (Yu et al. 2023,
+    arXiv:2303.16900): channels split 1/8 dw3×3 + 1/8 dw1×11 + 1/8 dw11×1 +
+    5/8 identity, replacing the 7×7 depthwise conv.
+
+    TPU rationale: the 7×7 dwconv is this workload's measured bottleneck —
+    VPU-ALU-bound at 49 taps with half-occupied lanes at stage-0 shapes
+    (docs/perf_sweep.json); this mixer is 1.96× faster at (3072,15,15,64)
+    bf16 (measured on v5e).  Used by the TPU-native ``inceptionnext_*``
+    model kinds — NOT checkpoint-compatible with timm ConvNeXt (train from
+    scratch, or distill)."""
+
+    dim: int
+    band: int = 11
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = max(1, self.dim // 8)
+        xs = jnp.split(x, [g, 2 * g, 3 * g], axis=-1)
+        y0 = nn.Conv(g, (3, 3), padding="SAME", feature_group_count=g,
+                     dtype=self.dtype, name="dw_square")(xs[0])
+        y1 = nn.Conv(g, (1, self.band), padding="SAME",
+                     feature_group_count=g, dtype=self.dtype,
+                     name="dw_band_w")(xs[1])
+        y2 = nn.Conv(g, (self.band, 1), padding="SAME",
+                     feature_group_count=g, dtype=self.dtype,
+                     name="dw_band_h")(xs[2])
+        return jnp.concatenate([y0, y1, y2, xs[3]], axis=-1)
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     ls_init_value: float = 1e-6
+    token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         shortcut = x
-        x = nn.Conv(
-            self.dim, (7, 7), padding="SAME", feature_group_count=self.dim,
-            dtype=self.dtype, name="conv_dw",
-        )(x)
+        if self.token_mixer == "inception":
+            x = InceptionMixer(self.dim, dtype=self.dtype, name="mixer")(x)
+        else:
+            x = nn.Conv(
+                self.dim, (7, 7), padding="SAME",
+                feature_group_count=self.dim,
+                dtype=self.dtype, name="conv_dw",
+            )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
         x = gelu_exact(x)
@@ -97,6 +145,7 @@ class ConvNeXtStage(nn.Module):
     depth: int
     downsample: bool
     ls_init_value: float = 1e-6
+    token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -107,7 +156,8 @@ class ConvNeXtStage(nn.Module):
             x = nn.Conv(self.dim, (2, 2), strides=(2, 2), padding="VALID",
                         dtype=self.dtype, name="downsample_conv")(x)
         for b in range(self.depth):
-            x = ConvNeXtBlock(self.dim, self.ls_init_value, self.dtype,
+            x = ConvNeXtBlock(self.dim, self.ls_init_value,
+                              self.token_mixer, self.dtype,
                               name=f"block{b}")(x)
         return x
 
@@ -118,6 +168,7 @@ class ConvNeXtBackbone(nn.Module):
     depths: Sequence[int] = (2, 2, 6, 2)
     dims: Sequence[int] = (64, 128, 256, 512)
     ls_init_value: float = 1e-6
+    token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -128,7 +179,8 @@ class ConvNeXtBackbone(nn.Module):
         for s, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             x = ConvNeXtStage(
                 dim=dim, depth=depth, downsample=(s > 0),
-                ls_init_value=self.ls_init_value, dtype=self.dtype,
+                ls_init_value=self.ls_init_value,
+                token_mixer=self.token_mixer, dtype=self.dtype,
                 name=f"stage{s}",
             )(x)
         return x
@@ -137,7 +189,9 @@ class ConvNeXtBackbone(nn.Module):
 def _backbone_from_config(config, dtype) -> ConvNeXtBackbone:
     spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
     return ConvNeXtBackbone(
-        depths=spec["depths"], dims=spec["dims"], dtype=dtype, name="backbone")
+        depths=spec["depths"], dims=spec["dims"],
+        token_mixer=spec.get("token_mixer", "dwconv7"), dtype=dtype,
+        name="backbone")
 
 
 def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
