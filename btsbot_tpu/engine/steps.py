@@ -22,17 +22,33 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.augment import augment_triplets
-from .loss import weighted_bce_with_logits
+from .loss import binary_kd_loss, weighted_bce_with_logits
 from .state import TrainState
 
 
-def make_train_step(model, tx, config, donate: bool = False):
+def make_train_step(model, tx, config, donate: bool = False, teacher=None):
     """donate=True donates the input TrainState's buffers to the update
     (in-place param/optimizer memory, no copy per step) — use in training
     loops that immediately rebind the state; leave False when the caller
-    inspects the pre-step state afterwards."""
+    inspects the pre-step state afterwards.
+
+    teacher=(teacher_model, teacher_variables) adds knowledge distillation:
+    the teacher scores the same (augmented) batch inside the step graph,
+    and the loss becomes alpha·BCE(labels) + (1−alpha)·KD(teacher), with
+    ``distill_alpha`` / ``distill_temperature`` from config (defaults
+    0.5 / 2.0).  The teacher forward runs inside the same XLA program — no
+    second dispatch — and its weights never receive gradients; they enter
+    as jit arguments (not closure constants) so they are never embedded in
+    the serialized program.
+    """
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata
+    if teacher is not None:
+        teacher_model, teacher_variables = teacher
+        teacher_variables = jax.tree_util.tree_map(jnp.asarray,
+                                                   teacher_variables)
+        distill_alpha = float(config.get("distill_alpha", 0.5))
+        distill_temp = float(config.get("distill_temperature", 2.0))
     aug_flags = dict(
         h_flip=bool(config.get("data_aug_h_flip", True)),
         v_flip=bool(config.get("data_aug_v_flip", True)),
@@ -44,7 +60,8 @@ def make_train_step(model, tx, config, donate: bool = False):
         else jax.jit
 
     @jit
-    def train_step(state: TrainState, images, metadata, labels, pos_weight):
+    def _train_step(state: TrainState, images, metadata, labels, pos_weight,
+                    t_vars):
         step_rng = jax.random.fold_in(state.rng, state.step)
         aug_rng, dropout_rng = jax.random.split(step_rng)
 
@@ -65,6 +82,14 @@ def make_train_step(model, tx, config, donate: bool = False):
             )
             logits, updates = out
             loss = weighted_bce_with_logits(logits, labels, pos_weight)
+            if teacher is not None:
+                t_logits = teacher_model.apply(
+                    t_vars,
+                    image_input=images if need_triplets else None,
+                    metadata_input=metadata if need_metadata else None,
+                    train=False)
+                kd = binary_kd_loss(logits, t_logits, distill_temp)
+                loss = distill_alpha * loss + (1.0 - distill_alpha) * kd
             return loss, (logits, updates.get("batch_stats", {}))
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
@@ -87,10 +112,15 @@ def make_train_step(model, tx, config, donate: bool = False):
         return new_state, {"loss": loss, "logits": logits.reshape(-1),
                            "scores": scores, "correct": correct}
 
+    def train_step(state: TrainState, images, metadata, labels, pos_weight):
+        return _train_step(state, images, metadata, labels, pos_weight,
+                           teacher_variables if teacher is not None else None)
+
     return train_step
 
 
-def make_device_train_step(model, tx, config, images, metadata, labels):
+def make_device_train_step(model, tx, config, images, metadata, labels,
+                           teacher=None):
     """Train step over a device-resident dataset, batched by index.
 
     The whole training set is uploaded once (BTS-scale sets are a few GB —
@@ -101,16 +131,25 @@ def make_device_train_step(model, tx, config, images, metadata, labels):
     pipelines (reference train.py:201-209), and essential when the host link
     is high-latency (remote-relay setups).
     """
-    base = make_train_step(model, tx, config)
+    base = make_train_step(model, tx, config, teacher=teacher)
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata
 
+    # The dataset arrays are jit *arguments*, not closure captures: captured
+    # arrays lower as constants embedded in the serialized program, which
+    # (a) can double their HBM footprint and (b) overflows remote-compile
+    # relays on multi-hundred-MB datasets (measured: HTTP 413 at ~450 MB).
+    # As arguments they ship to the device once via device_put and the
+    # compiled program stays a few MB.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def device_train_step(state: TrainState, idx, pos_weight):
+    def _step(state: TrainState, idx, pos_weight, images, metadata, labels):
         img = jnp.take(images, idx, axis=0) if need_triplets else None
         meta = jnp.take(metadata, idx, axis=0) if need_metadata else None
         lab = jnp.take(labels, idx, axis=0)
         return base(state, img, meta, lab, pos_weight)
+
+    def device_train_step(state: TrainState, idx, pos_weight):
+        return _step(state, idx, pos_weight, images, metadata, labels)
 
     return device_train_step
 
