@@ -33,11 +33,11 @@ import jax.numpy as jnp
 BASELINE_ALERTS_PER_SEC = 50_000.0
 
 
-def build_scorer(dtype=jnp.bfloat16, iters: int = 50):
+def build_scorer(dtype=jnp.bfloat16, iters: int = 50, config=None):
     from __graft_entry__ import FLAGSHIP_CONFIG
     from btsbot_tpu import init_model, normalize_config
 
-    config = normalize_config(FLAGSHIP_CONFIG)
+    config = normalize_config(dict(config or FLAGSHIP_CONFIG))
     model, variables = init_model(config, rng=0, dtype=dtype)
 
     @jax.jit
@@ -204,6 +204,21 @@ def main():
         result.update(bench_end_to_end(variables))
     except Exception as e:  # noqa: BLE001
         result["end_to_end_error"] = str(e)
+    # Secondary: the TPU-native inceptionnext_pico serving variant (same
+    # topology, decomposed token mixer — models/convnext.py::InceptionMixer;
+    # quality evidence in docs/quality_run/). Measured at the ConvNeXt's
+    # best batch to keep bench wall time bounded.
+    try:
+        from __graft_entry__ import FLAGSHIP_CONFIG
+
+        inx_cfg = dict(FLAGSHIP_CONFIG, model_kind="inceptionnext_pico")
+        inx_score, inx_vars = build_scorer(dtype, iters=iters, config=inx_cfg)
+        inx = bench_batch(inx_score, inx_vars, best_batch, dtype, iters=iters)
+        result["inceptionnext_alerts_per_s"] = round(inx, 1)
+        result["inceptionnext_vs_baseline"] = round(
+            inx / BASELINE_ALERTS_PER_SEC, 3)
+    except Exception as e:  # noqa: BLE001
+        result["inceptionnext_error"] = str(e)
     print(json.dumps(result))
 
 

@@ -46,6 +46,9 @@ def __getattr__(name):
     if name == "init_from_backbone_checkpoint":
         from .interop.pretrained import init_from_backbone_checkpoint
         return init_from_backbone_checkpoint
+    if name == "distill_to_student":
+        from .engine.distill import distill_to_student
+        return distill_to_student
     raise AttributeError(name)
 
 __all__ = [
@@ -73,4 +76,5 @@ __all__ = [
     "export_saved_model",
     "verify_saved_model",
     "init_from_backbone_checkpoint",
+    "distill_to_student",
 ]

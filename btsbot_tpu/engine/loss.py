@@ -27,6 +27,27 @@ def weighted_bce_with_logits(
     return jnp.mean(per_example)
 
 
+def binary_kd_loss(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    temperature: float = 2.0,
+) -> jnp.ndarray:
+    """Binary knowledge-distillation loss (Hinton et al. 2015 adapted to a
+    single sigmoid logit): cross-entropy of the temperature-softened student
+    logit against the teacher's softened probability, scaled by T² so the
+    gradient magnitude is temperature-invariant.
+
+    Used to transfer a trained mm_ConvNeXt (reference-checkpoint-compatible)
+    into the TPU-native ``inceptionnext_*`` serving variant without
+    retraining from labels alone (see engine/distill.py)."""
+    t = jnp.float32(temperature)
+    z = student_logits.reshape(-1).astype(jnp.float32) / t
+    soft = jax.nn.sigmoid(
+        teacher_logits.reshape(-1).astype(jnp.float32) / t)
+    soft = jax.lax.stop_gradient(soft)
+    return t * t * weighted_bce_with_logits(z, soft, 1.0)
+
+
 def binary_accuracy(scores: jnp.ndarray, labels: jnp.ndarray,
                     threshold: float = 0.5) -> jnp.ndarray:
     """Fraction of (score > threshold) == label (reference train.py:538-540,

@@ -63,6 +63,7 @@ def run_training(
     epoch_callback: Callable[[int, dict], None] | None = None,
     logger=None,
     initial_variables=None,
+    teacher=None,
 ) -> dict[str, Any]:
     config = normalize_config(config)
     seed = int(config.get("random_seed", 0))
@@ -129,10 +130,16 @@ def run_training(
             train_ds,
             image_dtype=jnp.dtype(image_dtype) if image_dtype else None)
         train_step = make_device_train_step(
-            model, tx, config, dev_images, dev_metadata, dev_labels)
+            model, tx, config, dev_images, dev_metadata, dev_labels,
+            teacher=teacher)
     else:
         # the loop rebinds state every step, so donate its buffers
-        train_step = make_train_step(model, tx, config, donate=True)
+        train_step = make_train_step(model, tx, config, donate=True,
+                                     teacher=teacher)
+    if teacher is not None:
+        log(f"Distilling from teacher "
+            f"(alpha={config.get('distill_alpha', 0.5)}, "
+            f"T={config.get('distill_temperature', 2.0)})")
 
     run_model_name = (f"{config['model_name']}_{config['train_data_version']}"
                       f"_N{config.get('N_max', 100)}_tpu")

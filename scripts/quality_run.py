@@ -119,6 +119,17 @@ CONFIGS = {
         "comb_fc1_neurons": 64, "comb_fc2_neurons": 32,
         "comb_dropout": 0.2,
     },
+    # TPU-native serving variant (1.41x ConvNeXt-pico throughput on v5e):
+    # same topology, InceptionNeXt token mixer. Quality must match
+    # mm_ConvNeXt here before it can be recommended for production.
+    "mm_InceptionNeXt": {
+        "model_name": "mm_ConvNeXt",
+        "model_kind": "inceptionnext_pico",
+        "meta_fc1_neurons": 128, "meta_fc2_neurons": 128,
+        "meta_dropout": 0.25,
+        "comb_fc1_neurons": 64, "comb_fc2_neurons": 32,
+        "comb_dropout": 0.2,
+    },
 }
 
 
@@ -181,9 +192,16 @@ def main():
         summary[name] = s
         print(f"{name}: {json.dumps(s)}", flush=True)
 
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "models": summary},
-                  f, indent=1)
+    # merge into any existing summary so per-model reruns don't clobber
+    # previously recorded models
+    summary_path = os.path.join(args.out, "summary.json")
+    merged = {"device": str(jax.devices()[0]), "models": {}}
+    if os.path.isfile(summary_path):
+        with open(summary_path) as f:
+            merged["models"] = json.load(f).get("models", {})
+    merged["models"].update(summary)
+    with open(summary_path, "w") as f:
+        json.dump(merged, f, indent=1)
     print("QUALITY_RUN_DONE", flush=True)
 
 
