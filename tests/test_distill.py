@@ -140,3 +140,41 @@ def test_distill_to_student_end_to_end(tmp_path):
         t_vars, image_input=imgs, metadata_input=meta,
         train=False).reshape(-1))
     assert float(jnp.mean(jnp.abs(s - t))) < 0.25
+
+
+def test_distill_cli_end_to_end(tmp_path):
+    """`python -m btsbot_tpu.cli.distill <teacher_dir>`: trains a student
+    from reference-convention data files on disk."""
+    import pandas as pd
+
+    from btsbot_tpu.cli.distill import main as distill_main
+
+    # teacher training run (in-memory datasets)
+    train_ds = synthetic_dataset(96, seed=0)
+    val_ds = synthetic_dataset(48, seed=1)
+    cfg = normalize_config({**TEACHER_CFG, "epochs": 1})
+    t_result = run_training(cfg, run_name="t", out_root=str(tmp_path),
+                            train_ds=train_ds, val_ds=val_ds,
+                            make_figure=False, log=lambda *_: None)
+
+    # reference-convention split files for the CLI's data-dir path
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    for split, ds in (("train", train_ds), ("val", val_ds)):
+        np.save(data_dir / f"{split}_triplets_vtest_N100.npy", ds.images)
+        df = pd.DataFrame(ds.metadata, columns=META_COLS)
+        df["label"] = ds.labels
+        df.to_csv(data_dir / f"{split}_cand_vtest_N100.csv", index=False)
+
+    distill_main([t_result["model_dir"],
+                  "--student-kind", "inceptionnext_atto",
+                  "--data-dir", str(data_dir),
+                  "--out-root", str(tmp_path / "out"),
+                  "--epochs", "1", "--alpha", "0.3", "--no-figure"])
+
+    out_dirs = list((tmp_path / "out").rglob("report.json"))
+    assert out_dirs, "student run wrote no report.json"
+    import json as _json
+    report = _json.loads(out_dirs[0].read_text())
+    assert report["train_config"]["model_kind"] == "inceptionnext_atto"
+    assert report["train_config"]["distill_alpha"] == 0.3
