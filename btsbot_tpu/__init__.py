@@ -49,7 +49,27 @@ def __getattr__(name):
     if name == "distill_to_student":
         from .engine.distill import distill_to_student
         return distill_to_student
+    if name == "make_report":
+        from .metrics.report import make_report
+        return make_report
+    if name == "FlexibleDataset":
+        # reference name for the in-memory runtime dataset (utils.py:12-42)
+        from .data.dataset import AlertDataset
+        return AlertDataset
+    if name in _REFERENCE_MODEL_NAMES:
+        # reference-facade class names (btsbot/__init__.py:16-25); resolve
+        # to the flax modules through the registry ("frozen_fusion" included)
+        if name == "frozen_fusion":
+            from .models.fusion import FrozenFusion
+            return FrozenFusion
+        return MODEL_REGISTRY[name]
     raise AttributeError(name)
+
+
+_REFERENCE_MODEL_NAMES = (
+    "MaxViT", "ConvNeXt", "mm_MaxViT", "mm_ConvNeXt",
+    "mm_cnn", "um_cnn", "um_nn", "frozen_fusion",
+)
 
 __all__ = [
     "__version__",
@@ -77,4 +97,14 @@ __all__ = [
     "verify_saved_model",
     "init_from_backbone_checkpoint",
     "distill_to_student",
+    "make_report",
+    "FlexibleDataset",
+    "MaxViT",
+    "ConvNeXt",
+    "mm_MaxViT",
+    "mm_ConvNeXt",
+    "mm_cnn",
+    "um_cnn",
+    "um_nn",
+    "frozen_fusion",
 ]

@@ -162,3 +162,23 @@ def test_kowalski_raw_cache_roundtrip(tmp_path):
     a2 = query_alerts([oid], Exploding(), 1, load_raw=cache)
     assert len(a2) == len(a1) == 1
     np.testing.assert_allclose(a1[0]["triplet"], a2[0]["triplet"])
+
+def test_reference_facade_names_resolve():
+    """Every public name the reference exports from its package facade
+    (/root/reference/btsbot/__init__.py:28-46) has a btsbot_tpu counterpart
+    under the same name, except the torch transform class
+    (RandomRightAngleRotation -> ops.augment functional equivalent) and the
+    module re-exports."""
+    import btsbot_tpu as b
+
+    reference_names = [
+        "__version__", "FlexibleDataset", "make_report",
+        "MaxViT", "ConvNeXt", "mm_MaxViT", "mm_ConvNeXt",
+        "mm_cnn", "um_cnn", "um_nn", "frozen_fusion",
+        "download_HF_model", "load_HF_model",
+    ]
+    for name in reference_names:
+        assert getattr(b, name) is not None, name
+    # the model aliases resolve to the registry's flax modules
+    assert b.mm_cnn is b.MODEL_REGISTRY["mm_cnn"]
+    assert b.mm_ConvNeXt is b.MODEL_REGISTRY["mm_ConvNeXt"]
