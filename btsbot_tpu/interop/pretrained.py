@@ -228,6 +228,14 @@ def maybe_init_pretrained(config, variables, log=print) -> dict:
         return variables
     if config.get("pretrained", False) and \
             config["model_name"] in BACKBONE_MODELS:
+        if "inceptionnext" in str(config.get("model_kind", "")):
+            # TPU-native kinds have no timm checkpoint by construction —
+            # train from scratch or distill (engine/distill.py); the
+            # pretrained flag is inherited from reference configs and moot
+            log("model_kind is a TPU-native inceptionnext variant; "
+                "pretrained has no source checkpoint (train from scratch "
+                "or distill from a trained mm_ConvNeXt)")
+            return variables
         sd = fetch_timm_backbone(config)
         if sd is not None:
             variables = init_from_backbone_checkpoint(config, variables, sd)

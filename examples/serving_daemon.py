@@ -41,7 +41,14 @@ def main():
                    help="Stream N synthetic packets instead of a broker")
     p.add_argument("--out", default=None, help="JSONL results file (default "
                                                "stdout summary only)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="Persistent XLA compile cache dir: restarts skip "
+                        "the serving-graph compile (utils/compile_cache.py)")
     args = p.parse_args()
+
+    if args.compile_cache:
+        from btsbot_tpu.utils.compile_cache import enable
+        enable(args.compile_cache)
 
     from btsbot_tpu import AlertStreamConsumer, AlertStreamScorer, \
         init_model, normalize_config

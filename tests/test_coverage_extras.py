@@ -182,3 +182,30 @@ def test_reference_facade_names_resolve():
     # the model aliases resolve to the registry's flax modules
     assert b.mm_cnn is b.MODEL_REGISTRY["mm_cnn"]
     assert b.mm_ConvNeXt is b.MODEL_REGISTRY["mm_ConvNeXt"]
+
+
+def test_compile_cache_round_trip(tmp_path):
+    """utils/compile_cache: entries are written on compile and a fresh
+    compilation of the same program is served from the cache dir."""
+    import jax
+    import jax.numpy as jnp
+
+    from btsbot_tpu.utils.compile_cache import disable, enable
+
+    cache = tmp_path / "xla_cache"
+    enable(str(cache), min_compile_time_s=0.0)
+    try:
+        @jax.jit
+        def f(x):
+            return (x @ x.T).sum()
+
+        f(jnp.ones((32, 32))).block_until_ready()
+        entries = list(cache.iterdir())
+        assert entries, "no persistent cache entries written"
+        # same program again from a cleared in-memory cache: the persistent
+        # dir must satisfy it (no new entry, no error)
+        jax.clear_caches()
+        f(jnp.ones((32, 32))).block_until_ready()
+        assert len(list(cache.iterdir())) == len(entries)
+    finally:
+        disable()

@@ -4,6 +4,7 @@ the native decoder + device ingest + model, vs a manual pipeline."""
 import gzip
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -160,3 +161,67 @@ def test_stream_consumer_queue_backpressure_and_stop():
     stats = consumer.stop()
     assert sum(got_batches) == 5
     assert stats["alerts_scored"] == 5
+
+
+@pytest.mark.slow
+def test_stream_consumer_soak_bursty_producer():
+    """Soak the daemon for several seconds against a bursty producer and a
+    slow sink: every alert in is scored exactly once, backpressure holds the
+    bounded queue, and stop() leaves no live threads."""
+    import queue
+    import threading
+    import time as _time
+
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    model, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=8,
+                               dtype=jnp.float32)
+
+    rng = np.random.default_rng(1)
+    packet_pool = [_packet(rng) for _ in range(16)]
+    src: queue.Queue = queue.Queue(maxsize=24)
+    produced = {"n": 0}
+
+    def producer():
+        deadline = _time.monotonic() + 6.0
+        while _time.monotonic() < deadline:
+            # bursts of 1-20 packets, then a pause (idle-drain path)
+            for _ in range(int(rng.integers(1, 21))):
+                src.put(packet_pool[int(rng.integers(16))])
+                produced["n"] += 1
+            _time.sleep(float(rng.uniform(0.0, 0.15)))
+        src.put(None)
+
+    seen = {"scored": 0, "batches": 0}
+    lock = threading.Lock()
+
+    def sink(packets, scores, drop):
+        _time.sleep(0.01)  # slow sink: forces queue backpressure
+        assert len(packets) == len(scores) == len(drop)
+        assert np.all(np.isfinite(scores[~drop]))
+        with lock:
+            seen["scored"] += len(scores)
+            seen["batches"] += 1
+
+    consumer = AlertStreamConsumer(scorer, src, sink,
+                                   max_wait_s=0.05, max_in_flight=2)
+    t = threading.Thread(target=producer)
+    t.start()
+    consumer.start()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # the None sentinel ends run() on its own; wait for the natural exit
+    # (stop() would truncate the drain), then read the final stats
+    deadline = _time.monotonic() + 60
+    while consumer._thread.is_alive() and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert not consumer._thread.is_alive(), "consumer failed to drain"
+    stats = consumer.stats
+    assert produced["n"] > 100, "producer should have sent many bursts"
+    assert stats["alerts_in"] == produced["n"]
+    assert stats["alerts_scored"] == produced["n"] == seen["scored"]
+    assert stats["batches"] == seen["batches"]
+    assert src.qsize() == 0
+    assert stats["alerts_per_s"] > 0
