@@ -34,6 +34,10 @@ def main():
     p.add_argument("--objects", type=int, default=1200)
     p.add_argument("--teacher-epochs", type=int, default=20)
     p.add_argument("--student-epochs", type=int, default=10)
+    p.add_argument("--hard", action="store_true",
+                   help="hard benchmark: overlapping magnitudes + 10%% "
+                        "train-label noise (val labels stay clean) — the "
+                        "regime where KD's denoising can show an edge")
     args = p.parse_args()
 
     import jax
@@ -50,10 +54,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     print(f"device: {jax.devices()[0]}", flush=True)
+    suffix = "_hard" if args.hard else ""
 
-    train_ds = make_dataset(args.objects, (4, 12), seed=10)
-    val_ds = make_dataset(args.objects // 8, (4, 12), seed=11)
-    print(f"dataset: {len(train_ds)} train / {len(val_ds)} val", flush=True)
+    train_ds = make_dataset(args.objects, (4, 12), seed=10, hard=args.hard,
+                            label_noise=0.10 if args.hard else 0.0)
+    val_ds = make_dataset(args.objects // 8, (4, 12), seed=11, hard=args.hard)
+    print(f"dataset: {len(train_ds)} train / {len(val_ds)} val"
+          f"{' (hard)' if args.hard else ''}", flush=True)
 
     base = {
         **CONFIGS["mm_ConvNeXt"],
@@ -84,7 +91,7 @@ def main():
     # /-------- teacher --------/
     t0 = time.time()
     t_cfg = normalize_config({**base, "epochs": args.teacher_epochs})
-    t_res = run_training(t_cfg, run_name="demo_teacher", out_root=args.out,
+    t_res = run_training(t_cfg, run_name=f"demo_teacher{suffix}", out_root=args.out,
                          train_ds=train_ds, val_ds=val_ds, make_figure=False,
                          log=lambda m: print(m, flush=True))
     t_model, t_vars, _ = load_teacher(t_res["model_dir"])
@@ -101,7 +108,7 @@ def main():
             **base, "model_kind": "inceptionnext_pico",
             "epochs": args.student_epochs,
             "distill_alpha": 0.5, "distill_temperature": 2.0})
-        kwargs = dict(run_name=f"demo_student_{tag}", out_root=args.out,
+        kwargs = dict(run_name=f"demo_student_{tag}{suffix}", out_root=args.out,
                       train_ds=train_ds, val_ds=val_ds, make_figure=False,
                       log=lambda m: print(m, flush=True))
         if teacher is not None:
@@ -123,9 +130,10 @@ def main():
     results["note"] = ("same data/seed/schedule for both students; the "
                        "distilled one additionally minimizes the KD term "
                        "against the trained teacher (alpha 0.5, T 2.0)")
-    with open(os.path.join(args.out, "distill_demo.json"), "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "results": results},
-                  f, indent=1)
+    fname = "distill_demo_hard.json" if args.hard else "distill_demo.json"
+    with open(os.path.join(args.out, fname), "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "hard": args.hard,
+                   "results": results}, f, indent=1)
     print("DISTILL_DEMO_DONE", flush=True)
 
 

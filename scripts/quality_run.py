@@ -36,11 +36,18 @@ META_COLS = [
 
 
 def make_dataset(n_objects: int, alerts_per_object: tuple[int, int],
-                 seed: int):
+                 seed: int, hard: bool = False, label_noise: float = 0.0):
     """Synthetic-but-realistic alert set: per-object light curves; positives
     (bright transients, peak < 18.5 mag) carry a PSF-like blob whose
     amplitude follows the per-alert magnitude; negatives get fainter,
-    noisier residuals.  Overlapping distributions keep it non-trivial."""
+    noisier residuals.  Overlapping distributions keep it non-trivial.
+
+    ``hard=True`` is the regime where models stop saturating: the magnitude
+    distributions overlap heavily (positives 17.5-19.5 vs negatives
+    18.0-20.5).  ``label_noise`` flips that fraction of *reported* per-object
+    labels after the imagery is drawn (ZTF training sets carry mislabeled
+    dims/rejects too) — use it on the train split only, keeping val/test
+    labels clean, to measure robustness to annotation noise."""
     import pandas as pd
 
     from btsbot_tpu.data.dataset import AlertDataset
@@ -51,7 +58,15 @@ def make_dataset(n_objects: int, alerts_per_object: tuple[int, int],
     yy, xx = np.mgrid[:63, :63]
     for obj in range(n_objects):
         label = float(rng.random() < 0.45)
-        peakmag = rng.uniform(16.5, 18.4) if label else rng.uniform(18.6, 20.5)
+        if hard:
+            peakmag = rng.uniform(17.5, 19.5) if label \
+                else rng.uniform(18.0, 20.5)
+        else:
+            peakmag = rng.uniform(16.5, 18.4) if label \
+                else rng.uniform(18.6, 20.5)
+        feat_label = label  # imagery + metadata always follow the truth
+        if label_noise and rng.random() < label_noise:
+            label = 1.0 - label  # only the reported label is wrong
         n_alerts = rng.integers(*alerts_per_object)
         jd0 = 2459000.0 + rng.uniform(0, 300)
         jds = np.sort(jd0 + rng.uniform(0, 30, n_alerts))
@@ -71,9 +86,9 @@ def make_dataset(n_objects: int, alerts_per_object: tuple[int, int],
             meta = {c: rng.normal() for c in META_COLS}
             meta.update({
                 "magpsf": mag, "sigmapsf": 1.0857 / max(5.0, flux / 0.02),
-                "sgscore1": rng.uniform(0, 0.4) if label
+                "sgscore1": rng.uniform(0, 0.4) if feat_label
                 else rng.uniform(0.2, 1.0),
-                "distpsnr1": rng.exponential(2.0 if label else 1.0),
+                "distpsnr1": rng.exponential(2.0 if feat_label else 1.0),
                 "fwhm": 2.355 * sigma + rng.normal(0, 0.2),
                 "ndethist": i + 1, "ncovhist": i + 3, "nnotdet": 2,
                 "age": jd - jds[0],
