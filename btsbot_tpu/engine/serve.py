@@ -25,6 +25,31 @@ from ..models.factory import build_model
 from ..ops.preprocess import l2_normalize_cutouts
 
 
+def _bucket_ladder(batch_size: int, bucket_sizes, mesh) -> list[int]:
+    """Sorted padded-batch ladder ending at batch_size.  Under a mesh, every
+    bucket must split evenly on the "data" axis; non-conforming sizes are
+    dropped (batch_size itself is always kept)."""
+    if bucket_sizes is None:
+        ladder, b = [], batch_size
+        while b >= 64 and len(ladder) < 3:
+            ladder.append(b)
+            b //= 4
+    else:
+        ladder = [int(b) for b in bucket_sizes]
+    ladder = sorted({b for b in ladder if 0 < b <= batch_size} | {batch_size})
+    if mesh is not None:
+        d = int(mesh.shape.get("data", 1))
+        ladder = [b for b in ladder if b % d == 0] or [batch_size]
+    return ladder
+
+
+def _pick_bucket(ladder: list[int], n: int) -> int:
+    for b in ladder:
+        if b >= n:
+            return b
+    return ladder[-1]
+
+
 class AlertScorer:
     """Fixed-batch scorer: pads the tail, returns scores in input order.
 
@@ -33,14 +58,22 @@ class AlertScorer:
     """
 
     def __init__(self, config, variables, batch_size: int = 3072,
-                 dtype=jnp.bfloat16, normalize: bool = False, mesh=None):
+                 dtype=jnp.bfloat16, normalize: bool = False, mesh=None,
+                 bucket_sizes=None):
         """batch_size 3072 is the measured single-chip sweet spot on v5e
         (~15% over the 2^n sizes at BTSbot stage shapes — see bench.py).
         mesh: optional jax.sharding.Mesh — batches are split on the "data"
         axis across chips (multi-chip serving; params replicated or
-        tensor-sharded per parallel.sharding rules)."""
+        tensor-sharded per parallel.sharding rules).
+        bucket_sizes: padded-batch ladder for partial batches.  Trickle
+        traffic (a max_wait flush of 50 alerts) would otherwise pad to the
+        full compiled batch and burn batch_size/n× the compute; with a
+        ladder the tail pads to the smallest bucket that fits.  Default:
+        [batch_size, batch_size/4, batch_size/16] (floor 64).  One XLA
+        executable per bucket, compiled lazily on first use."""
         self.config = normalize_config(config)
         self.batch_size = batch_size
+        self.bucket_sizes = _bucket_ladder(batch_size, bucket_sizes, mesh)
         self.dtype = dtype
         self.model = build_model(self.config, dtype=dtype)
         self.mesh = mesh
@@ -73,11 +106,11 @@ class AlertScorer:
 
     def __call__(self, triplets=None, metadata=None) -> np.ndarray:
         n = len(triplets) if triplets is not None else len(metadata)
-        bs = self.batch_size
         out = np.empty(n, np.float32)
-        for start in range(0, n, bs):
-            stop = min(start + bs, n)
+        for start in range(0, n, self.batch_size):
+            stop = min(start + self.batch_size, n)
             m = stop - start
+            bs = _pick_bucket(self.bucket_sizes, m)
             img = meta = None
             if triplets is not None:
                 img = np.zeros((bs,) + triplets.shape[1:], np.float32)
@@ -151,15 +184,19 @@ class AlertStreamScorer:
 
     def __init__(self, config, variables, batch_size: int = 3072,
                  dtype=jnp.bfloat16, num_threads: int = 0,
-                 transfer_dtype=None):
+                 transfer_dtype=None, bucket_sizes=None):
         """transfer_dtype: optional narrower dtype (e.g. jnp.bfloat16) for
         the host→device pixel transfer — halves ingest bytes on the PCIe/DCN
         link at ~0.4% pixel quantization (scores already run bf16); ingest
-        math still runs f32 on device.  None (default) ships f32 pixels."""
+        math still runs f32 on device.  None (default) ships f32 pixels.
+        bucket_sizes: padded-batch ladder (see AlertScorer) — partial
+        flushes from the daemon's max_wait path pad to the smallest fitting
+        bucket instead of the full compiled batch."""
         from ..ops.preprocess import preprocess_triplets
 
         self.config = normalize_config(config)
         self.batch_size = batch_size
+        self.bucket_sizes = _bucket_ladder(batch_size, bucket_sizes, None)
         self.dtype = dtype
         self.num_threads = num_threads
         self.transfer_dtype = transfer_dtype
@@ -208,9 +245,10 @@ class AlertStreamScorer:
         return triplets, metadata, decode_bad
 
     def _dispatch(self, triplets, metadata, n: int):
-        """Device stage: pad to the compiled batch size and launch the fused
-        ingest+forward asynchronously.  Returns device arrays (futures)."""
-        bs = self.batch_size
+        """Device stage: pad to the smallest fitting bucket and launch the
+        fused ingest+forward asynchronously.  Returns device arrays
+        (futures)."""
+        bs = _pick_bucket(self.bucket_sizes, n)
         wire = np.dtype(self.transfer_dtype) if self.transfer_dtype \
             else np.float32
         img = np.zeros((bs, 63, 63, 3), wire)

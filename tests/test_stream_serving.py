@@ -225,3 +225,53 @@ def test_stream_consumer_soak_bursty_producer():
     assert stats["batches"] == seen["batches"]
     assert src.qsize() == 0
     assert stats["alerts_per_s"] > 0
+
+
+def test_bucket_ladder_and_partial_batch_parity():
+    """Bucketed serving: the padded-batch ladder picks the smallest fitting
+    bucket and partial batches score identically to the full-pad path."""
+    from btsbot_tpu.engine.serve import (
+        AlertScorer,
+        _bucket_ladder,
+        _pick_bucket,
+    )
+
+    assert _bucket_ladder(3072, None, None) == [192, 768, 3072]
+    assert _bucket_ladder(256, None, None) == [64, 256]
+    assert _bucket_ladder(100, [10, 50, 200], None) == [10, 50, 100]
+    assert _pick_bucket([64, 256], 3) == 64
+    assert _pick_bucket([64, 256], 65) == 256
+    assert _pick_bucket([64, 256], 256) == 256
+
+    config = normalize_config(SMALL_CFG)
+    model, variables = init_model(config, rng=0)
+    rng = np.random.default_rng(2)
+    trips = rng.normal(size=(10, 63, 63, 3)).astype(np.float32)
+    meta = rng.normal(size=(10, 25)).astype(np.float32)
+
+    bucketed = AlertScorer(config, variables, batch_size=64,
+                           dtype=jnp.float32)  # ladder [4? no: [64] floor]
+    single = AlertScorer(config, variables, batch_size=64,
+                         dtype=jnp.float32, bucket_sizes=[64])
+    assert bucketed.bucket_sizes == [64]  # floor 64 collapses the ladder
+
+    wide = AlertScorer(config, variables, batch_size=1024,
+                       dtype=jnp.float32, bucket_sizes=[16, 64, 1024])
+    np.testing.assert_allclose(wide(trips, meta), single(trips, meta),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_stream_scorer_bucketed_partial_matches_full():
+    config = normalize_config(SMALL_CFG)
+    model, variables = init_model(config, rng=0)
+    rng = np.random.default_rng(3)
+    packets = [_packet(rng) for _ in range(5)]
+
+    full = AlertStreamScorer(config, variables, batch_size=256,
+                             dtype=jnp.float32, bucket_sizes=[256])
+    bucketed = AlertStreamScorer(config, variables, batch_size=256,
+                                 dtype=jnp.float32, bucket_sizes=[8, 256])
+    s_full, d_full = full(packets)
+    s_b, d_b = bucketed(packets)
+    np.testing.assert_allclose(s_b, s_full, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(d_b, d_full)
