@@ -200,12 +200,16 @@ def test_compile_cache_round_trip(tmp_path):
             return (x @ x.T).sum()
 
         f(jnp.ones((32, 32))).block_until_ready()
-        entries = list(cache.iterdir())
-        assert entries, "no persistent cache entries written"
+        # count only this test's program: unrelated aux programs
+        # (convert_element_type, broadcast) may persist at their own pace
+        # when the full suite has pre-warmed jax's in-memory caches
+        entries = [p for p in cache.iterdir() if p.name.startswith("jit_f-")]
+        assert entries, "no persistent cache entry written for jit_f"
         # same program again from a cleared in-memory cache: the persistent
-        # dir must satisfy it (no new entry, no error)
+        # dir must satisfy it (no new jit_f entry, no error)
         jax.clear_caches()
         f(jnp.ones((32, 32))).block_until_ready()
-        assert len(list(cache.iterdir())) == len(entries)
+        after = [p for p in cache.iterdir() if p.name.startswith("jit_f-")]
+        assert len(after) == len(entries)
     finally:
         disable()
