@@ -1,0 +1,107 @@
+"""Serving CLI: ``python -m btsbot_tpu.cli.serve <model_dir> [opts]``.
+
+Runs the broker-consumer daemon (engine/serve.py::AlertStreamConsumer) as a
+process.  No reference counterpart — the reference hands an ONNX file to
+brokers (README.md:34-43); here the TPU graph is the production scorer.
+
+Wire format (``--jsonl``): one alert packet per line as JSON with the
+Kafka/avro field layout the scorer consumes —
+``{"candid": ..., "candidate": {<metadata cols>},
+"cutoutScience|Template|Difference": {"stampData": "<base64 gzip FITS>"}}``.
+Results stream to ``--out`` (or stdout) as
+``{"candid": ..., "score": float|null, "dropped": bool}`` per alert;
+``score`` is null where the alert was dropped as corrupt/undecodable.
+
+``--synthetic N`` serves generated packets instead (smoke/throughput runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import sys
+
+
+def _iter_jsonl_packets(path: str):
+    """Yield packets from a JSONL file, decoding base64 stampData blobs."""
+    stream = sys.stdin if path == "-" else open(path)  # noqa: SIM115
+    with stream:
+        for line in stream:
+            line = line.strip()
+            if not line:
+                continue
+            p = json.loads(line)
+            for key in ("cutoutScience", "cutoutTemplate",
+                        "cutoutDifference"):
+                blob = p.get(key, {}).get("stampData")
+                if isinstance(blob, str):
+                    p[key]["stampData"] = base64.b64decode(blob)
+            yield p
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Serve alert packets through the TPU scoring daemon")
+    p.add_argument("model_dir",
+                   help="Model dir (report.json/train_config.json + "
+                        "checkpoint or pytorch_model.bin)")
+    p.add_argument("--jsonl", default=None, metavar="FILE",
+                   help="JSONL packet source ('-' for stdin); see module "
+                        "docstring for the wire format")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="Serve N synthetic packets instead of --jsonl")
+    p.add_argument("--out", default=None,
+                   help="JSONL results file (default stdout)")
+    p.add_argument("--batch", type=int, default=3072)
+    p.add_argument("--max-wait-ms", type=float, default=100.0)
+    p.add_argument("--bf16-transfer", action="store_true",
+                   help="Ship pixels host->device as bfloat16 (halves "
+                        "ingest bytes)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR")
+    args = p.parse_args(argv)
+    if (args.jsonl is None) == (args.synthetic is None):
+        p.error("exactly one of --jsonl / --synthetic is required")
+
+    if args.compile_cache:
+        from ..utils.compile_cache import enable
+        enable(args.compile_cache)
+
+    import jax.numpy as jnp
+
+    from ..engine.distill import load_teacher
+    from ..engine.serve import AlertStreamConsumer, AlertStreamScorer
+
+    model, variables, config = load_teacher(args.model_dir)
+    scorer = AlertStreamScorer(
+        config, variables, batch_size=args.batch,
+        transfer_dtype=jnp.bfloat16 if args.bf16_transfer else None)
+
+    if args.synthetic is not None:
+        from ..data.synthetic import synthetic_packets
+        source = synthetic_packets(args.synthetic, config["metadata_cols"])
+    else:
+        source = _iter_jsonl_packets(args.jsonl)
+
+    out = sys.stdout if args.out is None else open(args.out, "w")  # noqa: SIM115
+
+    def sink(packets, scores, drop):
+        for pkt, s, d in zip(packets, scores, drop):
+            out.write(json.dumps({
+                "candid": pkt.get("candid"),
+                "score": None if d else round(float(s), 6),
+                "dropped": bool(d)}) + "\n")
+        out.flush()
+
+    consumer = AlertStreamConsumer(
+        scorer, source, sink, max_wait_s=args.max_wait_ms / 1e3)
+    try:
+        stats = consumer.run()
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    print(json.dumps(stats), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
