@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--data-dir", default="data")
     p.add_argument("--split", default="val")
     p.add_argument("--figure", action="store_true")
+    p.add_argument("--calibrate", action="store_true",
+                   help="Fit temperature scaling on this split and report "
+                        "NLL/ECE before/after (metrics/calibration.py)")
     args = p.parse_args(argv)
 
     config = normalize_config(load_report_config(args.model_dir))
@@ -47,6 +50,10 @@ def main(argv=None):
         fig_path=os.path.join(args.model_dir,
                               f"{args.split}_diagnostics.pdf"))
     summary.pop("fig", None)
+    if args.calibrate:
+        from ..metrics.calibration import calibration_report
+        summary["calibration"] = calibration_report(raw_preds, labels)
+        print(f"calibration: {summary['calibration']}")
     perf_path = os.path.join(args.model_dir, "perf.json")
     with open(perf_path, "w") as f:
         json.dump(summary, f, indent=4, default=float)

@@ -64,3 +64,33 @@ def test_serve_cli_synthetic_and_jsonl(tmp_path):
     assert not drop.any()
     np.testing.assert_allclose([r["score"] for r in rows], want,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_val_cli_with_calibration(tmp_path):
+    """`cli.val --calibrate` writes perf.json with a calibration block."""
+    import pandas as pd
+
+    from btsbot_tpu.cli.val import main as val_main
+    from test_engine import META_COLS
+
+    model_dir, cfg = _train_model_dir(tmp_path)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    ds = synthetic_dataset(96, seed=2)
+    np.save(data_dir / "val_triplets_vtest_N100.npy", ds.images)
+    df = pd.DataFrame(ds.metadata, columns=META_COLS)
+    df["label"] = ds.labels
+    df["objectId"] = [f"ZTFt{i // 4:04d}" for i in range(len(df))]
+    df["candid"] = np.arange(len(df))
+    df["jd"] = 2459000.0 + np.arange(len(df)) * 0.1
+    df["magpsf"] = 18.0 + 0.01 * np.arange(len(df))
+    df.to_csv(data_dir / "val_cand_vtest_N100.csv", index=False)
+
+    val_main([model_dir, "--data-dir", str(data_dir), "--calibrate"])
+
+    perf = json.loads((tmp_path / "mm_cnn_vtest_N100_tpu" / "m" /
+                       "perf.json").read_text())
+    cal = perf["calibration"]
+    assert set(cal) == {"temperature", "nll_before", "nll_after",
+                        "ece_before", "ece_after"}
+    assert cal["nll_after"] <= cal["nll_before"] + 1e-9
