@@ -219,7 +219,49 @@ def main():
             inx / BASELINE_ALERTS_PER_SEC, 3)
     except Exception as e:  # noqa: BLE001
         result["inceptionnext_error"] = str(e)
+    # Secondary: full train-step throughput (on-device aug + fwd + weighted
+    # BCE bwd + AdamW), bf16 mixed precision, scan-carried TrainState.
+    try:
+        result["train_bf16_alerts_per_s"] = round(bench_train_step(), 1)
+    except Exception as e:  # noqa: BLE001
+        result["train_bench_error"] = str(e)
     print(json.dumps(result))
+
+
+def bench_train_step(batch: int = 4096, iters: int = 10) -> float:
+    from __graft_entry__ import FLAGSHIP_CONFIG
+    from btsbot_tpu import init_model, normalize_config
+    from btsbot_tpu.engine.state import create_train_state, make_optimizer
+    from btsbot_tpu.engine.steps import make_train_step
+
+    cfg = normalize_config({**FLAGSHIP_CONFIG, "compute_dtype": "bfloat16"})
+    model, variables = init_model(cfg, rng=0, dtype=jnp.bfloat16)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(cfg, variables, tx, seed=0)
+    step = make_train_step(model, tx, cfg)
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.normal(size=(batch, 63, 63, 3)), jnp.bfloat16))
+    metadata = jax.device_put(
+        jnp.asarray(rng.normal(size=(batch, 25)), jnp.bfloat16))
+    labels = jax.device_put(
+        jnp.asarray(rng.random(batch) < 0.5, jnp.float32))
+
+    @jax.jit
+    def epoch(state, images, metadata, labels):
+        def body(st, _):
+            st, m = step(st, images, metadata, labels, jnp.float32(1.17))
+            return st, m["loss"]
+        _, losses = jax.lax.scan(body, state, None, length=iters)
+        return jnp.mean(losses)
+
+    assert np.isfinite(float(epoch(state, images, metadata, labels)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(epoch(state, images, metadata, labels))
+        best = min(best, time.perf_counter() - t0)
+    return batch * iters / best
 
 
 if __name__ == "__main__":

@@ -59,6 +59,9 @@ def main(argv=None):
                    help="Ship pixels host->device as bfloat16 (halves "
                         "ingest bytes)")
     p.add_argument("--compile-cache", default=None, metavar="DIR")
+    p.add_argument("--stats-interval", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="Emit a JSON stats line to stderr at this interval")
     args = p.parse_args(argv)
     if (args.jsonl is None) == (args.synthetic is None):
         p.error("exactly one of --jsonl / --synthetic is required")
@@ -94,7 +97,25 @@ def main(argv=None):
         out.flush()
 
     consumer = AlertStreamConsumer(
-        scorer, source, sink, max_wait_s=args.max_wait_ms / 1e3)
+        scorer, source, sink, max_wait_s=args.max_wait_ms / 1e3,
+        stats_interval_s=args.stats_interval,
+        stats_log=lambda line: print(line, file=sys.stderr))
+
+    # daemon lifecycle: SIGTERM/SIGINT drain in-flight work and exit cleanly
+    import signal
+
+    def _shutdown(signum, frame):
+        del frame
+        print(json.dumps({"signal": signum, "action": "stopping"}),
+              file=sys.stderr)
+        consumer._stop.set()
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _shutdown)
+        except ValueError:  # non-main thread (e.g. under a test harness)
+            pass
+
     try:
         stats = consumer.run()
     finally:

@@ -13,6 +13,7 @@ checked against the f32 reference graph on example data.
 
 from __future__ import annotations
 
+import json
 import time
 
 import numpy as np
@@ -333,7 +334,11 @@ class AlertStreamConsumer:
 
     def __init__(self, scorer: AlertStreamScorer, source, sink,
                  max_batch: int | None = None, max_wait_s: float = 0.1,
-                 max_in_flight: int = 2):
+                 max_in_flight: int = 2, stats_interval_s: float = 0.0,
+                 stats_log=None):
+        """stats_interval_s > 0 emits a JSON stats line to ``stats_log``
+        (default: print) at most every interval while consuming — the
+        monitoring hook for long-running daemons."""
         import queue as _queue
         import threading
 
@@ -343,6 +348,9 @@ class AlertStreamConsumer:
                              scorer.batch_size)
         self.max_wait_s = max_wait_s
         self.max_in_flight = max_in_flight
+        self.stats_interval_s = stats_interval_s
+        self.stats_log = stats_log or print
+        self._last_stats_emit = 0.0
         self.stats = {"alerts_in": 0, "alerts_scored": 0, "dropped": 0,
                       "batches": 0, "wall_s": 0.0, "alerts_per_s": 0.0}
         self._stop = threading.Event()
@@ -429,6 +437,16 @@ class AlertStreamConsumer:
             self.stats["dropped"] += int(drop.sum())
             self.stats["batches"] += 1
             self.sink(packets, scores, drop)
+            if self.stats_interval_s > 0:
+                now = time.monotonic()
+                if now - self._last_stats_emit >= self.stats_interval_s:
+                    self._last_stats_emit = now
+                    wall = time.perf_counter() - t0
+                    self.stats_log(json.dumps({
+                        **self.stats, "wall_s": round(wall, 3),
+                        "alerts_per_s": round(
+                            self.stats["alerts_scored"] / max(wall, 1e-9),
+                            1)}))
 
         while True:
             batch = self._collect_batch()

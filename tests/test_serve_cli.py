@@ -94,3 +94,56 @@ def test_val_cli_with_calibration(tmp_path):
     assert set(cal) == {"temperature", "nll_before", "nll_after",
                         "ece_before", "ece_after"}
     assert cal["nll_after"] <= cal["nll_before"] + 1e-9
+
+
+def test_serve_cli_sigterm_drains_and_exits(tmp_path):
+    """Daemon lifecycle as a process: stdin-fed serving emits periodic stats
+    and shuts down cleanly (exit 0, final stats line) on SIGTERM."""
+    import base64 as _b64
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    model_dir, _ = _train_model_dir(tmp_path)
+    rng = np.random.default_rng(5)
+    lines = []
+    for i in range(4):
+        p = _packet(rng)
+        wire = {"candid": i, "candidate": p["candidate"]}
+        for key in ("cutoutScience", "cutoutTemplate", "cutoutDifference"):
+            wire[key] = {"stampData": _b64.b64encode(
+                p[key]["stampData"]).decode()}
+        lines.append(json.dumps(wire) + "\n")
+
+    out = tmp_path / "sig_scores.jsonl"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from btsbot_tpu.cli.serve import main;"
+        f"main([{str(model_dir)!r}, '--jsonl', '-', '--batch', '8',"
+        f" '--out', {str(out)!r}, '--stats-interval', '0.1',"
+        " '--max-wait-ms', '50'])")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdin=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd="/root/repo")
+    for line in lines:
+        proc.stdin.write(line)
+    proc.stdin.flush()
+    # wait for the daemon to have scored something (results file non-empty)
+    deadline = _time.monotonic() + 120
+    while _time.monotonic() < deadline:
+        if out.exists() and out.read_text().strip():
+            break
+        _time.sleep(0.2)
+    assert out.exists() and out.read_text().strip(), "no scores before kill"
+
+    proc.send_signal(signal.SIGTERM)  # stdin stays open: only the signal
+    stderr = proc.communicate(timeout=60)[1]
+    assert proc.returncode == 0, stderr
+    stats_lines = [json.loads(line) for line in stderr.splitlines()
+                   if line.startswith("{")]
+    assert any(s.get("action") == "stopping" for s in stats_lines)
+    final = stats_lines[-1]
+    assert final["alerts_scored"] == 4
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert len(rows) == 4
