@@ -52,6 +52,12 @@ def __getattr__(name):
     if name == "make_report":
         from .metrics.report import make_report
         return make_report
+    if name == "load_BTSbot_model":
+        # reference helper (architectures.py:322-338): model dir with
+        # report.json + best_model.pth → (model, variables, config); also
+        # accepts this package's best/ orbax dirs and HF snapshots
+        from .engine.distill import load_teacher
+        return load_teacher
     if name == "FlexibleDataset":
         # reference name for the in-memory runtime dataset (utils.py:12-42)
         from .data.dataset import AlertDataset
@@ -107,4 +113,5 @@ __all__ = [
     "um_cnn",
     "um_nn",
     "frozen_fusion",
+    "load_BTSbot_model",
 ]

@@ -92,6 +92,37 @@ def save_model_variables(ckpt_dir: str, params: Any, batch_stats: Any) -> None:
                    force=True)
 
 
+def load_model_checkpoint(config, model_dir: str) -> dict:
+    """Best-model variables from a model dir in EITHER convention:
+
+    * this package's ``best/`` orbax checkpoint, or
+    * the reference's ``best_model.pth`` torch state dict
+      (train.py:337-340), converted strictly via interop.
+
+    The shared loader behind frozen-fusion branch loading
+    (models/fusion.py) and distillation teachers (engine/distill.py) — a
+    reference-trained run dir works anywhere a btsbot_tpu one does.
+    """
+    orbax_dir = os.path.join(model_dir, "best")
+    if os.path.isdir(orbax_dir):
+        from ..models.factory import init_model
+
+        _, template = init_model(config, rng=0)
+        return load_model_variables(
+            orbax_dir,
+            template={"params": template["params"],
+                      "batch_stats": template.get("batch_stats", {})})
+    torch_path = os.path.join(model_dir, "best_model.pth")
+    if os.path.isfile(torch_path):
+        from ..interop.convert import torch_state_dict_to_variables
+        from ..interop.hf import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(torch_path)
+        return torch_state_dict_to_variables(config, sd)
+    raise FileNotFoundError(
+        f"No checkpoint (best/ or best_model.pth) in {model_dir}")
+
+
 def load_model_variables(ckpt_dir: str, template: dict | None = None) -> dict:
     """Load a best/-style checkpoint.  ``template`` is accepted for API
     compatibility but the tree structure comes from the checkpoint itself

@@ -57,20 +57,19 @@ def load_teacher(teacher_dir: str, dtype=None):
         with open(cfg_path) as f:
             config = normalize_config(json.load(f))
     elif os.path.isfile(report_path):
-        # a btsbot_tpu training run dir: config lives inside report.json
-        # (metrics/report.py, mirroring the reference's make_report schema)
+        # a training run dir (ours or the reference's): config lives inside
+        # report.json (metrics/report.py == reference make_report schema,
+        # utils.py:51-67)
         with open(report_path) as f:
             config = normalize_config(json.load(f)["train_config"])
     else:
         raise FileNotFoundError(
             f"{teacher_dir}: need train_config.json or report.json plus "
-            "either pytorch_model.bin (HF snapshot) or a best/ checkpoint "
-            "(btsbot_tpu training run)")
-    from ..engine.checkpoint import load_model_variables
-    ckpt = os.path.join(teacher_dir, "best")
-    if not os.path.isdir(ckpt):
-        ckpt = os.path.join(teacher_dir, "latest")
-    variables = load_model_variables(ckpt)
+            "either pytorch_model.bin (HF snapshot), a best/ checkpoint "
+            "(btsbot_tpu run), or best_model.pth (reference run)")
+    from ..engine.checkpoint import load_model_checkpoint
+
+    variables = load_model_checkpoint(config, teacher_dir)
     model = build_model(config, dtype=dtype or jnp.float32)
     return model, variables, config
 

@@ -168,27 +168,9 @@ def load_fusion_branches(config: dict, fusion_variables: dict) -> dict:
 
 
 def _load_branch_checkpoint(branch_cfg, model_dir: str) -> dict:
-    import os
+    from ..engine.checkpoint import load_model_checkpoint
 
-    orbax_dir = os.path.join(model_dir, "best")
-    torch_path_new = os.path.join(model_dir, "best_model.pth")
-    if os.path.isdir(orbax_dir):
-        from ..engine.checkpoint import load_model_variables
-        from .factory import init_model
-
-        _, template = init_model(branch_cfg, rng=0)
-        return load_model_variables(
-            orbax_dir,
-            template={"params": template["params"],
-                      "batch_stats": template.get("batch_stats", {})})
-    if os.path.isfile(torch_path_new):
-        from ..interop.convert import torch_state_dict_to_variables
-        from ..interop.hf import load_torch_checkpoint
-
-        sd = load_torch_checkpoint(torch_path_new)
-        return torch_state_dict_to_variables(branch_cfg, sd)
-    raise FileNotFoundError(
-        f"No checkpoint (best/ or best_model.pth) in {model_dir}")
+    return load_model_checkpoint(branch_cfg, model_dir)
 
 
 class FrozenFusion(nn.Module):

@@ -178,3 +178,42 @@ def test_distill_cli_end_to_end(tmp_path):
     report = _json.loads(out_dirs[0].read_text())
     assert report["train_config"]["model_kind"] == "inceptionnext_atto"
     assert report["train_config"]["distill_alpha"] == 0.3
+
+
+def test_load_teacher_reference_run_dir(tmp_path):
+    """A reference-convention training dir (report.json + best_model.pth,
+    train.py:337-340) loads through load_teacher / load_BTSbot_model and
+    scores identically to the orbax-trained original."""
+    import shutil
+
+    import torch
+
+    import btsbot_tpu
+    from btsbot_tpu.engine.checkpoint import load_model_variables
+    from btsbot_tpu.interop.export import variables_to_torch_state_dict
+
+    train_ds = synthetic_dataset(64, seed=0)
+    cfg = normalize_config({**SMALL_CFG, "epochs": 1})
+    r = run_training(cfg, run_name="orig", out_root=str(tmp_path),
+                     train_ds=train_ds, val_ds=synthetic_dataset(32, seed=1),
+                     make_figure=False, log=lambda *_: None)
+    variables = load_model_variables(r["model_dir"] + "/best")
+
+    ref_dir = tmp_path / "reference_style_run"
+    ref_dir.mkdir()
+    shutil.copy(r["model_dir"] + "/report.json", ref_dir / "report.json")
+    sd = variables_to_torch_state_dict(cfg, variables)
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               ref_dir / "best_model.pth")
+
+    model, loaded, loaded_cfg = btsbot_tpu.load_BTSbot_model(str(ref_dir))
+    assert loaded_cfg["model_name"] == "mm_cnn"
+
+    imgs = jnp.asarray(train_ds.images[:8])
+    meta = jnp.asarray(train_ds.metadata[:8])
+    want = model.apply(variables, image_input=imgs, metadata_input=meta,
+                       train=False)
+    got = model.apply(loaded, image_input=imgs, metadata_input=meta,
+                      train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
