@@ -205,17 +205,24 @@ class AlertStreamScorer:
         self.model = build_model(self.config, dtype=dtype)
         need_meta = self.config.need_metadata
 
+        need_triplets = self.config.need_triplets
+
         def fwd(variables, raw_triplets, metadata):
-            imgs, corrupt = preprocess_triplets(
-                raw_triplets.astype(jnp.float32))
+            imgs = corrupt = None
+            if need_triplets:
+                imgs, corrupt = preprocess_triplets(
+                    raw_triplets.astype(jnp.float32))
+                imgs = imgs.astype(dtype)
             logits = self.model.apply(
                 variables,
-                image_input=imgs.astype(dtype),
+                image_input=imgs,
                 metadata_input=(metadata.astype(dtype) if need_meta
                                 else None),
                 train=False)
             scores = jax.nn.sigmoid(
                 logits.reshape(-1).astype(jnp.float32))
+            if corrupt is None:  # metadata-only model: nothing to corrupt
+                corrupt = jnp.zeros(scores.shape, bool)
             return scores, corrupt
 
         self._fwd = jax.jit(fwd)
@@ -224,10 +231,20 @@ class AlertStreamScorer:
 
     def _prepare(self, packets: list[dict]):
         """Host stage: decode blobs (native, multithreaded) + gather
-        metadata columns.  Returns (raw_triplets, metadata, decode_bad)."""
+        metadata columns.  Returns (raw_triplets, metadata, decode_bad).
+        Metadata-only models skip the decode entirely (packets need no
+        cutouts)."""
+        n = len(packets)
+        if not self.config.need_triplets:
+            metadata = None
+            if self.config.need_metadata:
+                cols = self.config["metadata_cols"]
+                metadata = np.asarray(
+                    [[float(p["candidate"].get(c, 0.0)) for c in cols]
+                     for p in packets], dtype=np.float32)
+            return None, metadata, np.zeros(n, bool)
         from ..native import decode_stamps
 
-        n = len(packets)
         blobs: list[bytes] = []
         for p in packets:
             for key in ("cutoutScience", "cutoutTemplate",
@@ -250,16 +267,19 @@ class AlertStreamScorer:
         fused ingest+forward asynchronously.  Returns device arrays
         (futures)."""
         bs = _pick_bucket(self.bucket_sizes, n)
-        wire = np.dtype(self.transfer_dtype) if self.transfer_dtype \
-            else np.float32
-        img = np.zeros((bs, 63, 63, 3), wire)
-        img[:n] = triplets[:n].astype(wire)
+        img = None
+        if triplets is not None:
+            wire = np.dtype(self.transfer_dtype) if self.transfer_dtype \
+                else np.float32
+            img = np.zeros((bs, 63, 63, 3), wire)
+            img[:n] = triplets[:n].astype(wire)
+            img = jnp.asarray(img)
         meta = None
         if metadata is not None:
             meta = np.zeros((bs,) + metadata.shape[1:], np.float32)
             meta[:n] = metadata[:n]
             meta = jnp.asarray(meta)
-        return self._fwd(self.variables, jnp.asarray(img), meta)
+        return self._fwd(self.variables, img, meta)
 
     @staticmethod
     def _finish(scores_dev, corrupt_dev, decode_bad, n: int):

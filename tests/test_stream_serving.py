@@ -275,3 +275,26 @@ def test_stream_scorer_bucketed_partial_matches_full():
     s_b, d_b = bucketed(packets)
     np.testing.assert_allclose(s_b, s_full, rtol=1e-6, atol=1e-7)
     np.testing.assert_array_equal(d_b, d_full)
+
+
+def test_stream_scorer_metadata_only_model():
+    """um_nn (metadata-only) serves straight from packets with no cutout
+    blobs at all — the decode stage is skipped."""
+    config = normalize_config({**SMALL_CFG, "model_name": "um_nn"})
+    model, variables = init_model(config, rng=0)
+    rng = np.random.default_rng(6)
+    packets = [{"candidate": {f"m{i}": float(rng.normal())
+                              for i in range(25)}} for _ in range(5)]
+
+    scorer = AlertStreamScorer(config, variables, batch_size=8,
+                               dtype=jnp.float32)
+    scores, drop = scorer(packets)
+    assert scores.shape == (5,) and not drop.any()
+    assert np.all(np.isfinite(scores))
+
+    meta = np.asarray([[p["candidate"][f"m{i}"] for i in range(25)]
+                       for p in packets], np.float32)
+    logits = model.apply(variables, image_input=None,
+                         metadata_input=jnp.asarray(meta), train=False)
+    want = np.asarray(jax.nn.sigmoid(logits.reshape(-1)))
+    np.testing.assert_allclose(scores, want, rtol=1e-6, atol=1e-7)
