@@ -298,3 +298,21 @@ def test_stream_scorer_metadata_only_model():
                          metadata_input=jnp.asarray(meta), train=False)
     want = np.asarray(jax.nn.sigmoid(logits.reshape(-1)))
     np.testing.assert_allclose(scores, want, rtol=1e-6, atol=1e-7)
+
+
+def test_stream_scorer_image_only_model():
+    """um_cnn (image-only): packets need no candidate dict; metadata stage
+    is skipped."""
+    config = normalize_config({**SMALL_CFG, "model_name": "um_cnn",
+                               "fc1_neurons": 16, "fc2_neurons": 8,
+                               "dropout": 0.1})
+    model, variables = init_model(config, rng=0)
+    rng = np.random.default_rng(7)
+    packets = [{k: v for k, v in _packet(rng).items() if k != "candidate"}
+               for _ in range(4)]
+
+    scorer = AlertStreamScorer(config, variables, batch_size=8,
+                               dtype=jnp.float32)
+    scores, drop = scorer(packets)
+    assert scores.shape == (4,) and not drop.any()
+    assert np.all(np.isfinite(scores))
