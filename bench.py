@@ -204,16 +204,19 @@ def main():
         result.update(bench_end_to_end(variables))
     except Exception as e:  # noqa: BLE001
         result["end_to_end_error"] = str(e)
-    # Secondary: the TPU-native inceptionnext_pico serving variant (same
-    # topology, decomposed token mixer — models/convnext.py::InceptionMixer;
-    # quality evidence in docs/quality_run/). Measured at the ConvNeXt's
+    # Secondary: the TPU-native fast serving variant — inceptionnext token
+    # mixer + r2 MLP width (models/convnext.py; quality equal to
+    # ConvNeXt-pico on the benchmark, docs/quality_run/summary.json;
+    # knob attribution in docs/perf_sweep.json). Measured at the ConvNeXt's
     # best batch to keep bench wall time bounded.
     try:
         from __graft_entry__ import FLAGSHIP_CONFIG
 
-        inx_cfg = dict(FLAGSHIP_CONFIG, model_kind="inceptionnext_pico")
+        kind = "inceptionnext_pico.r2"
+        inx_cfg = dict(FLAGSHIP_CONFIG, model_kind=kind)
         inx_score, inx_vars = build_scorer(dtype, iters=iters, config=inx_cfg)
         inx = bench_batch(inx_score, inx_vars, best_batch, dtype, iters=iters)
+        result["inceptionnext_kind"] = kind
         result["inceptionnext_alerts_per_s"] = round(inx, 1)
         result["inceptionnext_vs_baseline"] = round(
             inx / BASELINE_ALERTS_PER_SEC, 3)

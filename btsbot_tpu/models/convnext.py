@@ -73,7 +73,16 @@ def convnext_spec(model_kind: str) -> dict:
         if base not in CONVNEXT_CONFIGS:
             raise ValueError(
                 f"Unknown InceptionNeXt variant in model_kind: {model_kind}")
-        return {**CONVNEXT_CONFIGS[base], "token_mixer": "inception"}
+        spec = {**CONVNEXT_CONFIGS[base], "token_mixer": "inception"}
+        # serving-oriented MLP-width knob: '.r<k>' shrinks the block MLP
+        # expansion from 4x to kx (measured: the extra 3x width is 34% of
+        # inceptionnext_pico serving time at batch 4096 on v5e, while the
+        # mixer is 18% — docs/perf_sweep.json attribution study).  Train
+        # from scratch or distill; not timm-checkpoint-compatible.
+        r = re.search(r"\.r(\d+)", model_kind)
+        if r:
+            spec["mlp_ratio"] = int(r.group(1))
+        return spec
     m = re.search(r"(convnext_[a-z]+)", model_kind)
     if not m or m.group(1) not in CONVNEXT_CONFIGS:
         raise ValueError(f"Unknown ConvNeXt variant in model_kind: {model_kind}")
@@ -116,6 +125,7 @@ class ConvNeXtBlock(nn.Module):
     ls_init_value: float = 1e-6
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -129,7 +139,8 @@ class ConvNeXtBlock(nn.Module):
                 dtype=self.dtype, name="conv_dw",
             )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp_fc1")(x)
+        x = nn.Dense(int(self.mlp_ratio * self.dim), dtype=self.dtype,
+                     name="mlp_fc1")(x)
         x = gelu_exact(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(x)
         if self.ls_init_value is not None:
@@ -147,6 +158,7 @@ class ConvNeXtStage(nn.Module):
     ls_init_value: float = 1e-6
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -158,6 +170,7 @@ class ConvNeXtStage(nn.Module):
         for b in range(self.depth):
             x = ConvNeXtBlock(self.dim, self.ls_init_value,
                               self.token_mixer, self.dtype,
+                              mlp_ratio=self.mlp_ratio,
                               name=f"block{b}")(x)
         return x
 
@@ -170,6 +183,7 @@ class ConvNeXtBackbone(nn.Module):
     ls_init_value: float = 1e-6
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -181,6 +195,7 @@ class ConvNeXtBackbone(nn.Module):
                 dim=dim, depth=depth, downsample=(s > 0),
                 ls_init_value=self.ls_init_value,
                 token_mixer=self.token_mixer, dtype=self.dtype,
+                mlp_ratio=self.mlp_ratio,
                 name=f"stage{s}",
             )(x)
         return x
@@ -191,6 +206,7 @@ def _backbone_from_config(config, dtype) -> ConvNeXtBackbone:
     return ConvNeXtBackbone(
         depths=spec["depths"], dims=spec["dims"],
         token_mixer=spec.get("token_mixer", "dwconv7"), dtype=dtype,
+        mlp_ratio=spec.get("mlp_ratio", 4.0),
         name="backbone")
 
 

@@ -145,6 +145,16 @@ CONFIGS = {
         "comb_fc1_neurons": 64, "comb_fc2_neurons": 32,
         "comb_dropout": 0.2,
     },
+    # '.r2' halves the block-MLP expansion (the measured 34% serving cost):
+    # quality must hold here before recommending it as the fast variant.
+    "mm_InceptionNeXt_r2": {
+        "model_name": "mm_ConvNeXt",
+        "model_kind": "inceptionnext_pico.r2",
+        "meta_fc1_neurons": 128, "meta_fc2_neurons": 128,
+        "meta_dropout": 0.25,
+        "comb_fc1_neurons": 64, "comb_fc2_neurons": 32,
+        "comb_dropout": 0.2,
+    },
 }
 
 

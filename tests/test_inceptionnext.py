@@ -96,3 +96,31 @@ def test_training_step_smoke():
                     jnp.asarray((rng.random(8) < 0.5), jnp.float32),
                     jnp.float32(1.0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_mlp_ratio_knob():
+    """'.r<k>' model_kind suffix shrinks the block MLP expansion — the
+    measured serving knob (attribution study in docs/perf_sweep.json)."""
+    spec = convnext_spec("inceptionnext_pico.r2")
+    assert spec["mlp_ratio"] == 2 and spec["token_mixer"] == "inception"
+    assert "mlp_ratio" not in convnext_spec("convnext_pico.d1_in1k")
+
+    cfg = normalize_config({**CFG, "model_kind": "inceptionnext_atto.r2"})
+    model, variables = init_model(cfg, rng=0)
+    blk = variables["params"]["backbone"]["stage0"]["block0"]
+    assert blk["mlp_fc1"]["kernel"].shape == (40, 80)  # 2x, not 4x
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(2, 63, 63, 3)), jnp.float32)
+    meta = jnp.asarray(rng.normal(size=(2, 25)), jnp.float32)
+    out = model.apply(variables, image_input=img, metadata_input=meta,
+                      train=False)
+    assert out.shape == (2, 1) and np.all(np.isfinite(out))
+
+    # strict interop round trip holds at the narrower width
+    sd = variables_to_torch_state_dict(cfg, variables)
+    v2 = torch_state_dict_to_variables(cfg, sd)
+    a = jax.tree_util.tree_leaves(variables["params"])
+    b = jax.tree_util.tree_leaves(v2["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
