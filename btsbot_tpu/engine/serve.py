@@ -373,6 +373,11 @@ class AlertStreamConsumer:
         self._last_stats_emit = 0.0
         self.stats = {"alerts_in": 0, "alerts_scored": 0, "dropped": 0,
                       "batches": 0, "wall_s": 0.0, "alerts_per_s": 0.0}
+        # 20-bin score histogram (edges 0.0,0.05,…,1.0): the cheap drift
+        # signal — a shifting score distribution is the first sign of
+        # upstream data drift or a miscalibrated model (see
+        # metrics/calibration.py); surfaced through stats/stats_log
+        self._score_hist = np.zeros(20, np.int64)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -456,6 +461,12 @@ class AlertStreamConsumer:
             self.stats["alerts_scored"] += len(scores)
             self.stats["dropped"] += int(drop.sum())
             self.stats["batches"] += 1
+            kept = scores[~drop]
+            if kept.size:
+                self._score_hist += np.bincount(
+                    np.clip((kept * 20).astype(np.int64), 0, 19),
+                    minlength=20)
+                self.stats["score_hist"] = self._score_hist.tolist()
             self.sink(packets, scores, drop)
             if self.stats_interval_s > 0:
                 now = time.monotonic()

@@ -316,3 +316,24 @@ def test_stream_scorer_image_only_model():
     scores, drop = scorer(packets)
     assert scores.shape == (4,) and not drop.any()
     assert np.all(np.isfinite(scores))
+
+
+def test_consumer_score_histogram_monitoring():
+    """stats carries a 20-bin score histogram summing to scored-minus-
+    dropped — the daemon's drift-monitoring signal."""
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    packets = [_packet(rng) for _ in range(7)]
+    packets.append(_packet(rng, corrupt=True))
+
+    consumer = AlertStreamConsumer(scorer, iter(packets),
+                                   sink=lambda *a: None, max_batch=4)
+    stats = consumer.run()
+    hist = np.asarray(stats["score_hist"])
+    assert hist.shape == (20,)
+    assert hist.sum() == stats["alerts_scored"] - stats["dropped"] == 7
