@@ -18,8 +18,10 @@ def main(argv=None):
         description="Distill a trained model into a faster serving variant")
     p.add_argument("teacher_dir",
                    help="Teacher model dir (HF snapshot or training run)")
-    p.add_argument("--student-kind", default="inceptionnext_pico",
-                   help="Student model_kind (default: inceptionnext_pico)")
+    p.add_argument("--student-kind", default="inceptionnext_pico.r2",
+                   help="Student model_kind (default: inceptionnext_pico.r2"
+                        " — the measured fast-serving variant, 1.78x "
+                        "ConvNeXt-pico at equal quality)")
     p.add_argument("--data-dir", default="data")
     p.add_argument("--out-root", default="models")
     p.add_argument("--run-name", default="distill")
