@@ -147,6 +147,14 @@ if __name__ == "__main__":
         out["roofline"] = roofline()
     if args.sweep or not args.roofline:
         out["sweep"] = run_sweep()
-    with open(os.path.join(REPO, "docs", "perf_sweep.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    # merge: perf_sweep.json also records standalone studies (attribution,
+    # mlp-ratio, train-step) that a flag-sweep rerun must not clobber
+    path = os.path.join(REPO, "docs", "perf_sweep.json")
+    merged = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     print("PERF_SWEEP_DONE")
