@@ -58,6 +58,10 @@ def main(argv=None):
     p.add_argument("--bf16-transfer", action="store_true",
                    help="Ship pixels host->device as bfloat16 (halves "
                         "ingest bytes)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="Calibration temperature fitted via "
+                        "cli.val --calibrate; served scores become "
+                        "calibrated probabilities")
     p.add_argument("--compile-cache", default=None, metavar="DIR")
     p.add_argument("--stats-interval", type=float, default=0.0,
                    metavar="SECONDS",
@@ -78,7 +82,8 @@ def main(argv=None):
     model, variables, config = load_teacher(args.model_dir)
     scorer = AlertStreamScorer(
         config, variables, batch_size=args.batch,
-        transfer_dtype=jnp.bfloat16 if args.bf16_transfer else None)
+        transfer_dtype=jnp.bfloat16 if args.bf16_transfer else None,
+        temperature=args.temperature)
 
     if args.synthetic is not None:
         from ..data.synthetic import synthetic_packets

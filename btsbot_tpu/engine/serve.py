@@ -60,7 +60,7 @@ class AlertScorer:
 
     def __init__(self, config, variables, batch_size: int = 3072,
                  dtype=jnp.bfloat16, normalize: bool = False, mesh=None,
-                 bucket_sizes=None):
+                 bucket_sizes=None, temperature: float = 1.0):
         """batch_size 3072 is the measured single-chip sweet spot on v5e
         (~15% over the 2^n sizes at BTSbot stage shapes — see bench.py).
         mesh: optional jax.sharding.Mesh — batches are split on the "data"
@@ -71,10 +71,14 @@ class AlertScorer:
         full compiled batch and burn batch_size/n× the compute; with a
         ladder the tail pads to the smallest bucket that fits.  Default:
         [batch_size, batch_size/4, batch_size/16] (floor 64).  One XLA
-        executable per bucket, compiled lazily on first use."""
+        executable per bucket, compiled lazily on first use.
+        temperature: calibration temperature fitted on validation scores
+        (metrics/calibration.py, ``cli.val --calibrate``) — applied to the
+        logits in-graph so served scores are calibrated probabilities."""
         self.config = normalize_config(config)
         self.batch_size = batch_size
         self.bucket_sizes = _bucket_ladder(batch_size, bucket_sizes, mesh)
+        self.temperature = float(temperature)
         self.dtype = dtype
         self.model = build_model(self.config, dtype=dtype)
         self.mesh = mesh
@@ -101,7 +105,10 @@ class AlertScorer:
                 image_input=images if need_triplets else None,
                 metadata_input=metadata if need_metadata else None,
                 train=False)
-            return jax.nn.sigmoid(logits.reshape(-1).astype(jnp.float32))
+            z = logits.reshape(-1).astype(jnp.float32)
+            if self.temperature != 1.0:
+                z = z / jnp.float32(self.temperature)
+            return jax.nn.sigmoid(z)
 
         self._score = jax.jit(score)
 
@@ -185,19 +192,22 @@ class AlertStreamScorer:
 
     def __init__(self, config, variables, batch_size: int = 3072,
                  dtype=jnp.bfloat16, num_threads: int = 0,
-                 transfer_dtype=None, bucket_sizes=None):
+                 transfer_dtype=None, bucket_sizes=None,
+                 temperature: float = 1.0):
         """transfer_dtype: optional narrower dtype (e.g. jnp.bfloat16) for
         the host→device pixel transfer — halves ingest bytes on the PCIe/DCN
         link at ~0.4% pixel quantization (scores already run bf16); ingest
         math still runs f32 on device.  None (default) ships f32 pixels.
         bucket_sizes: padded-batch ladder (see AlertScorer) — partial
         flushes from the daemon's max_wait path pad to the smallest fitting
-        bucket instead of the full compiled batch."""
+        bucket instead of the full compiled batch.
+        temperature: calibration temperature (see AlertScorer)."""
         from ..ops.preprocess import preprocess_triplets
 
         self.config = normalize_config(config)
         self.batch_size = batch_size
         self.bucket_sizes = _bucket_ladder(batch_size, bucket_sizes, None)
+        self.temperature = float(temperature)
         self.dtype = dtype
         self.num_threads = num_threads
         self.transfer_dtype = transfer_dtype
@@ -219,8 +229,10 @@ class AlertStreamScorer:
                 metadata_input=(metadata.astype(dtype) if need_meta
                                 else None),
                 train=False)
-            scores = jax.nn.sigmoid(
-                logits.reshape(-1).astype(jnp.float32))
+            z = logits.reshape(-1).astype(jnp.float32)
+            if self.temperature != 1.0:
+                z = z / jnp.float32(self.temperature)
+            scores = jax.nn.sigmoid(z)
             if corrupt is None:  # metadata-only model: nothing to corrupt
                 corrupt = jnp.zeros(scores.shape, bool)
             return scores, corrupt

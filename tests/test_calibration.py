@@ -56,3 +56,25 @@ def test_report_improves_ece_and_nll():
     # perfect scores on separable labels keep a tiny ECE
     clean = np.where(labels > 0.5, 0.99, 0.01).astype(np.float64)
     assert expected_calibration_error(clean, labels) < 0.02
+
+
+def test_calibrated_serving_matches_posthoc():
+    """AlertScorer/AlertStreamScorer(temperature=T) serve exactly
+    calibrate_scores(raw, T) — the in-graph form of the post-hoc fix."""
+    import jax.numpy as jnp
+
+    from btsbot_tpu import init_model, normalize_config
+    from btsbot_tpu.engine.serve import AlertScorer
+    from test_engine import SMALL_CFG, synthetic_dataset
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    ds = synthetic_dataset(16, seed=3)
+
+    raw = AlertScorer(config, variables, batch_size=16, dtype=jnp.float32)
+    calibrated = AlertScorer(config, variables, batch_size=16,
+                             dtype=jnp.float32, temperature=2.5)
+    s_raw = raw(ds.images, ds.metadata)
+    s_cal = calibrated(ds.images, ds.metadata)
+    np.testing.assert_allclose(s_cal, calibrate_scores(s_raw, 2.5),
+                               rtol=1e-5, atol=1e-6)
