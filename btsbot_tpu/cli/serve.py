@@ -58,10 +58,12 @@ def main(argv=None):
     p.add_argument("--bf16-transfer", action="store_true",
                    help="Ship pixels host->device as bfloat16 (halves "
                         "ingest bytes)")
-    p.add_argument("--temperature", type=float, default=1.0,
+    p.add_argument("--temperature", default="1.0",
                    help="Calibration temperature fitted via "
                         "cli.val --calibrate; served scores become "
-                        "calibrated probabilities")
+                        "calibrated probabilities. 'auto' reads "
+                        "calibration.temperature from the model dir's "
+                        "perf.json (falls back to 1.0 with a notice)")
     p.add_argument("--compile-cache", default=None, metavar="DIR")
     p.add_argument("--stats-interval", type=float, default=0.0,
                    metavar="SECONDS",
@@ -80,10 +82,25 @@ def main(argv=None):
     from ..engine.serve import AlertStreamConsumer, AlertStreamScorer
 
     model, variables, config = load_teacher(args.model_dir)
+    if args.temperature == "auto":
+        import os
+        temperature = 1.0
+        perf_path = os.path.join(args.model_dir, "perf.json")
+        try:
+            with open(perf_path) as f:
+                temperature = float(
+                    json.load(f)["calibration"]["temperature"])
+            print(f"calibration temperature {temperature} from {perf_path}",
+                  file=sys.stderr)
+        except (OSError, KeyError, ValueError):
+            print(f"no calibration in {perf_path}; serving uncalibrated "
+                  "(run cli.val --calibrate first)", file=sys.stderr)
+    else:
+        temperature = float(args.temperature)
     scorer = AlertStreamScorer(
         config, variables, batch_size=args.batch,
         transfer_dtype=jnp.bfloat16 if args.bf16_transfer else None,
-        temperature=args.temperature)
+        temperature=temperature)
 
     if args.synthetic is not None:
         from ..data.synthetic import synthetic_packets

@@ -54,11 +54,17 @@ def config_to_params(config: dict):
     kind = image_config["model_kind"]
     if "maxvit" in kind:
         architecture = "maxvit"
+    elif "inceptionnext" in kind:
+        # TPU-native serving variant (models/convnext.py) — trained from
+        # scratch or distilled; no timm base checkpoint exists
+        architecture = "inceptionnext"
     elif "convnext" in kind:
         architecture = "convnext"
     else:
         raise ValueError("Couldn't understand architecture")
-    if "mwalmsley" in kind:
+    if architecture == "inceptionnext":
+        pretrain = "randinit"
+    elif "mwalmsley" in kind:
         pretrain = "galaxyzoo"
     elif not image_config.get("pretrained", True):
         pretrain = "randinit"
@@ -79,6 +85,11 @@ def get_HF_basemodel(arch: str, pretrain: str) -> str:
         ("convnext", "galaxyzoo"): "mwalmsley/zoobot-encoder-convnext_pico",
         ("convnext", "imagenet"): "timm/convnext_pico.d1_in1k",
         ("convnext", "randinit"): "timm/convnext_pico.d1_in1k",
+        # TPU-native variant: no upstream base checkpoint (from scratch /
+        # distilled); the model card lists the architecture itself
+        ("inceptionnext", "randinit"): "btsbot-tpu/inceptionnext (no base "
+                                       "checkpoint; trained from scratch "
+                                       "or distilled)",
     }
     try:
         return table[(arch, pretrain)]

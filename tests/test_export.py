@@ -93,6 +93,11 @@ def test_publish_helpers():
             "model_kind": "maxvit_tiny_rw_224.sw_in1k", "pretrained": False}
     assert config_to_params(cfg3) == ("maxvit", False, "randinit")
     assert "zoobot" in get_HF_basemodel("convnext", "galaxyzoo")
+    # TPU-native serving variants publish as from-scratch models
+    cfg4 = {"model_name": "mm_ConvNeXt", "model_kind": "inceptionnext_pico.r2"}
+    assert config_to_params(cfg4) == ("inceptionnext", False, "randinit")
+    assert "no base checkpoint" in get_HF_basemodel("inceptionnext",
+                                                    "randinit")
     with pytest.raises(ValueError):
         get_HF_basemodel("resnet", "imagenet")
 

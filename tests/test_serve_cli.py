@@ -147,3 +147,37 @@ def test_serve_cli_sigterm_drains_and_exits(tmp_path):
     assert final["alerts_scored"] == 4
     rows = [json.loads(line) for line in out.read_text().splitlines()]
     assert len(rows) == 4
+
+
+def test_serve_cli_auto_temperature(tmp_path, capsys):
+    """--temperature auto reads calibration.temperature from the model
+    dir's perf.json (written by cli.val --calibrate)."""
+    model_dir, _ = _train_model_dir(tmp_path)
+    with open(f"{model_dir}/perf.json", "w") as f:
+        json.dump({"calibration": {"temperature": 0.7}}, f)
+
+    out = tmp_path / "auto_scores.jsonl"
+    serve_main([model_dir, "--synthetic", "8", "--batch", "8",
+                "--out", str(out), "--temperature", "auto"])
+    err = capsys.readouterr().err
+    assert "calibration temperature 0.7" in err
+    auto_rows = [json.loads(line) for line in out.read_text().splitlines()]
+
+    out2 = tmp_path / "fixed_scores.jsonl"
+    serve_main([model_dir, "--synthetic", "8", "--batch", "8",
+                "--out", str(out2), "--temperature", "0.7"])
+    fixed_rows = [json.loads(line) for line in out2.read_text().splitlines()]
+    assert [r["score"] for r in auto_rows] == [r["score"] for r in fixed_rows]
+
+    # missing calibration falls back with a notice, still serves
+    (tmp_path / "m2").mkdir()
+    import shutil
+    for item in ("report.json", "best"):
+        src = f"{model_dir}/{item}"
+        dst = tmp_path / "m2" / item
+        shutil.copytree(src, dst) if item == "best" else shutil.copy(src, dst)
+    out3 = tmp_path / "fallback.jsonl"
+    serve_main([str(tmp_path / "m2"), "--synthetic", "4", "--batch", "8",
+                "--out", str(out3), "--temperature", "auto"])
+    assert "serving uncalibrated" in capsys.readouterr().err
+    assert len(out3.read_text().splitlines()) == 4
