@@ -34,7 +34,9 @@ def _iter_jsonl_packets(path: str):
             p = json.loads(line)
             for key in ("cutoutScience", "cutoutTemplate",
                         "cutoutDifference"):
-                blob = p.get(key, {}).get("stampData")
+                cutout = p.get(key)
+                blob = cutout.get("stampData") \
+                    if isinstance(cutout, dict) else None
                 if isinstance(blob, str):
                     p[key]["stampData"] = base64.b64decode(blob)
             yield p

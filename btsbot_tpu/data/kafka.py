@@ -78,4 +78,7 @@ def kafka_packet_source(
                 on_error(err)
                 continue
             raise RuntimeError(f"Kafka consumer error: {err}")
-        yield deserialize(msg.value())
+        raw = msg.value()
+        if raw is None:
+            continue  # tombstone / compacted-topic record: nothing to score
+        yield deserialize(raw)

@@ -60,8 +60,9 @@ def load_teacher(teacher_dir: str, dtype=None):
         # a training run dir (ours or the reference's): config lives inside
         # report.json (metrics/report.py == reference make_report schema,
         # utils.py:51-67)
-        with open(report_path) as f:
-            config = normalize_config(json.load(f)["train_config"])
+        from ..metrics.report import load_report_config
+
+        config = normalize_config(load_report_config(teacher_dir))
     else:
         raise FileNotFoundError(
             f"{teacher_dir}: need train_config.json or report.json plus "

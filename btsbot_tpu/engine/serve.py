@@ -261,7 +261,13 @@ class AlertStreamScorer:
         for p in packets:
             for key in ("cutoutScience", "cutoutTemplate",
                         "cutoutDifference"):
-                blobs.append(p[key]["stampData"])
+                # a missing/null cutout must drop THAT alert, not kill the
+                # daemon: an empty blob makes the decoder flag it bad
+                cutout = p.get(key) or {}
+                blob = cutout.get("stampData") if isinstance(cutout, dict) \
+                    else None
+                blobs.append(blob if isinstance(blob, (bytes, bytearray))
+                             else b"")
         stamps, status = decode_stamps(blobs, num_threads=self.num_threads)
         triplets = np.ascontiguousarray(
             stamps.reshape(n, 3, 63, 63).transpose(0, 2, 3, 1))
@@ -390,6 +396,7 @@ class AlertStreamConsumer:
         # upstream data drift or a miscalibrated model (see
         # metrics/calibration.py); surfaced through stats/stats_log
         self._score_hist = np.zeros(20, np.int64)
+        self._source_error: BaseException | None = None
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -411,10 +418,18 @@ class AlertStreamConsumer:
                 return False
 
             def feed(it):
-                for p in it:
-                    if not put_or_stop(p):
-                        return
-                put_or_stop(None)
+                # a source that raises (Kafka error, malformed JSONL line)
+                # must still deliver the shutdown sentinel, or run() would
+                # poll the empty queue forever; the error is re-raised in
+                # run() so the caller sees it, not a background traceback
+                try:
+                    for p in it:
+                        if not put_or_stop(p):
+                            return
+                except BaseException as e:  # noqa: BLE001
+                    self._source_error = e
+                finally:
+                    put_or_stop(None)
 
             self._feeder = threading.Thread(target=feed, args=(source,),
                                             daemon=True)
@@ -510,6 +525,11 @@ class AlertStreamConsumer:
         if self.stats["wall_s"] > 0:
             self.stats["alerts_per_s"] = \
                 self.stats["alerts_scored"] / self.stats["wall_s"]
+        if self._source_error is not None:
+            raise RuntimeError(
+                "alert source failed mid-stream (scored "
+                f"{self.stats['alerts_scored']} before the failure)"
+            ) from self._source_error
         return self.stats
 
     def start(self) -> None:

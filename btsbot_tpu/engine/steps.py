@@ -116,6 +116,14 @@ def make_train_step(model, tx, config, donate: bool = False, teacher=None):
         return _train_step(state, images, metadata, labels, pos_weight,
                            teacher_variables if teacher is not None else None)
 
+    # expose the argument-taking core so wrappers that jit AROUND this step
+    # (make_device_train_step) can thread the teacher weights through as a
+    # traced argument — a closure capture there would embed them as
+    # constants in the outer program (the HTTP-413/HBM hazard documented
+    # below on make_device_train_step)
+    train_step.inner = _train_step
+    train_step.teacher_variables = \
+        teacher_variables if teacher is not None else None
     return train_step
 
 
@@ -135,21 +143,23 @@ def make_device_train_step(model, tx, config, images, metadata, labels,
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata
 
-    # The dataset arrays are jit *arguments*, not closure captures: captured
-    # arrays lower as constants embedded in the serialized program, which
-    # (a) can double their HBM footprint and (b) overflows remote-compile
-    # relays on multi-hundred-MB datasets (measured: HTTP 413 at ~450 MB).
-    # As arguments they ship to the device once via device_put and the
-    # compiled program stays a few MB.
+    # The dataset arrays (and any distillation teacher's weights) are jit
+    # *arguments*, not closure captures: captured arrays lower as constants
+    # embedded in the serialized program, which (a) can double their HBM
+    # footprint and (b) overflows remote-compile relays on multi-hundred-MB
+    # payloads (measured: HTTP 413 at ~450 MB).  As arguments they ship to
+    # the device once via device_put and the compiled program stays small.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def _step(state: TrainState, idx, pos_weight, images, metadata, labels):
+    def _step(state: TrainState, idx, pos_weight, images, metadata, labels,
+              t_vars):
         img = jnp.take(images, idx, axis=0) if need_triplets else None
         meta = jnp.take(metadata, idx, axis=0) if need_metadata else None
         lab = jnp.take(labels, idx, axis=0)
-        return base(state, img, meta, lab, pos_weight)
+        return base.inner(state, img, meta, lab, pos_weight, t_vars)
 
     def device_train_step(state: TrainState, idx, pos_weight):
-        return _step(state, idx, pos_weight, images, metadata, labels)
+        return _step(state, idx, pos_weight, images, metadata, labels,
+                     base.teacher_variables)
 
     return device_train_step
 

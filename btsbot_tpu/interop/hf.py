@@ -26,6 +26,10 @@ def validate_model_params(architecture: str, multi_modal: bool, pretrain: str):
         architecture = "convnext-pico"
     elif architecture == "maxvit":
         architecture = "maxvit-tiny"
+    elif architecture == "inceptionnext":
+        # TPU-native serving variant published by this package (no such
+        # repo exists upstream; naming mirrors the reference scheme)
+        architecture = "inceptionnext-pico"
     else:
         raise ValueError(f"Invalid architecture: {architecture}")
 

@@ -86,10 +86,8 @@ def get_HF_basemodel(arch: str, pretrain: str) -> str:
         ("convnext", "imagenet"): "timm/convnext_pico.d1_in1k",
         ("convnext", "randinit"): "timm/convnext_pico.d1_in1k",
         # TPU-native variant: no upstream base checkpoint (from scratch /
-        # distilled); the model card lists the architecture itself
-        ("inceptionnext", "randinit"): "btsbot-tpu/inceptionnext (no base "
-                                       "checkpoint; trained from scratch "
-                                       "or distilled)",
+        # distilled) — None omits the structured base_model card field
+        ("inceptionnext", "randinit"): None,
     }
     try:
         return table[(arch, pretrain)]
@@ -103,14 +101,16 @@ def create_model_card(model_dir: str, arch: str, multi_modal: bool,
                       pretrain: str) -> str:
     """README.md model card (to_HF.py:55-139)."""
     base = get_HF_basemodel(arch, pretrain)
+    # base_model is structured Hub metadata (must be a real model id);
+    # from-scratch TPU-native kinds omit the line entirely
+    base_line = f"\nbase_model: {base}" if base else ""
     card = f"""---
 library_name: pytorch
 tags:
 - vision
 - image-classification
 - pytorch
-license: mit
-base_model: {base}
+license: mit{base_line}
 ---
 
 # BTSbot
@@ -123,7 +123,9 @@ BTSbot and its classification task;
 [Rehemtulla et al. 2025](https://arxiv.org/abs/2512.11957) benchmarked
 architectures and pre-training for it.
 
-**Base Model**: [{base}](https://huggingface.co/{base})
+{f"**Base Model**: [{base}](https://huggingface.co/{base})" if base
+   else "**Base Model**: none (TPU-native variant, trained from scratch "
+        "or distilled from a trained mm_ConvNeXt)"}
 
 ## Usage
 

@@ -217,3 +217,26 @@ def test_load_teacher_reference_run_dir(tmp_path):
                       train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_distill_with_device_resident_data(tmp_path):
+    """Distillation through the device-data path: teacher weights flow into
+    the jitted step as arguments (the compile-payload invariant), and
+    training still converges."""
+    train_ds = synthetic_dataset(96, seed=0)
+    val_ds = synthetic_dataset(48, seed=1)
+    t_cfg = normalize_config({**TEACHER_CFG, "epochs": 1})
+    t_res = run_training(t_cfg, run_name="t", out_root=str(tmp_path),
+                         train_ds=train_ds, val_ds=val_ds, make_figure=False,
+                         log=lambda *_: None)
+    t_model, t_vars, t_loaded_cfg = load_teacher(t_res["model_dir"])
+
+    s_cfg = student_config_from_teacher(
+        t_loaded_cfg, "inceptionnext_atto", epochs=2, device_data=True)
+    result = distill_to_student(
+        teacher=(t_model, t_vars), student_config=s_cfg,
+        run_name="s", out_root=str(tmp_path / "s"),
+        train_ds=train_ds, val_ds=val_ds, make_figure=False,
+        log=lambda *_: None)
+    hist = result["history"]
+    assert hist["train_loss"][-1] < hist["train_loss"][0]

@@ -96,8 +96,7 @@ def test_publish_helpers():
     # TPU-native serving variants publish as from-scratch models
     cfg4 = {"model_name": "mm_ConvNeXt", "model_kind": "inceptionnext_pico.r2"}
     assert config_to_params(cfg4) == ("inceptionnext", False, "randinit")
-    assert "no base checkpoint" in get_HF_basemodel("inceptionnext",
-                                                    "randinit")
+    assert get_HF_basemodel("inceptionnext", "randinit") is None
     with pytest.raises(ValueError):
         get_HF_basemodel("resnet", "imagenet")
 

@@ -111,3 +111,12 @@ def test_kafka_source_through_serving_daemon():
     assert [c for c, _ in got] == [0, 1, 2, 3, 4, 5]
     want, _ = scorer(packets)
     np.testing.assert_allclose([s for _, s in got], want, rtol=1e-6)
+
+
+def test_tombstone_messages_are_skipped():
+    stop = threading.Event()
+    feed = [_Msg(json.dumps({"candid": 0}).encode()), _Msg(value=None),
+            _Msg(json.dumps({"candid": 1}).encode())]
+    got = list(kafka_packet_source(_StubConsumer(feed, stop),
+                                   stop_event=stop, poll_timeout_s=0.01))
+    assert [p["candid"] for p in got] == [0, 1]

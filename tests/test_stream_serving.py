@@ -337,3 +337,46 @@ def test_consumer_score_histogram_monitoring():
     hist = np.asarray(stats["score_hist"])
     assert hist.shape == (20,)
     assert hist.sum() == stats["alerts_scored"] - stats["dropped"] == 7
+
+
+def test_source_error_surfaces_instead_of_hanging():
+    """A source iterator that raises mid-stream must end run() with the
+    error (after draining what was scored), not hang the daemon forever."""
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    packets = _mk_packets(3, seed=10)
+
+    def bad_source():
+        yield from packets
+        raise RuntimeError("broker exploded")
+
+    got = []
+    consumer = AlertStreamConsumer(
+        scorer, bad_source(), sink=lambda p, s, d: got.extend(s),
+        max_batch=4, max_wait_s=0.02)
+    with pytest.raises(RuntimeError, match="source failed"):
+        consumer.run()
+    assert len(got) == 3  # everything before the failure was still scored
+    assert consumer.stats["alerts_scored"] == 3
+
+
+def test_malformed_packet_drops_alert_not_daemon():
+    """Missing or null cutouts mark that alert dropped; the batch and the
+    daemon survive."""
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=8,
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    packets = [_packet(rng) for _ in range(4)]
+    del packets[1]["cutoutTemplate"]                 # missing key
+    packets[2]["cutoutScience"] = None               # null cutout
+    packets[3]["cutoutDifference"] = {"stampData": None}  # null blob
+
+    scores, drop = scorer(packets)
+    assert list(drop) == [False, True, True, True]
+    assert np.isfinite(scores[0]) and np.all(np.isnan(scores[1:]))
