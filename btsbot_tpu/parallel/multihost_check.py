@@ -25,7 +25,7 @@ import sys
 
 
 def run_worker(process_id: int, num_processes: int, port: int,
-               devices_per_process: int = 2) -> dict:
+               devices_per_process: int = 2, model_axis: int = 1) -> dict:
     """Execute the multi-host check in THIS process.  jax must not have
     initialized a backend yet: the virtual-device count is applied through
     XLA_FLAGS here, before the first backend use.
@@ -50,7 +50,7 @@ def run_worker(process_id: int, num_processes: int, port: int,
     import numpy as np
 
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    # (shardings come from parallel.sharding.variables_shardings)
 
     from ..core.config import normalize_config
     from ..engine.state import create_train_state, make_optimizer
@@ -81,22 +81,30 @@ def run_worker(process_id: int, num_processes: int, port: int,
     state = create_train_state(config, variables, tx, seed=0)
     train_step = make_train_step(model, tx, config)
 
-    mesh = make_mesh(model=1)  # (data,) over every device on every process
+    # model_axis > 1 makes a (data, model) mesh whose model axis spans
+    # processes: wide kernels are tensor-sharded ACROSS hosts, so the TP
+    # collectives ride the inter-process (DCN-equivalent) transport too
+    mesh = make_mesh(model=model_axis)
     data_shard = batch_sharding(mesh)
-    replicated = NamedSharding(mesh, P())
 
-    # params replicated across the global mesh; each process contributes the
-    # same host values
+    from .sharding import variables_shardings
+
+    def host_to_global(tree):
+        # every process holds the full host value; build each global array
+        # by slicing out whatever shard the (data, model) sharding assigns
+        shardings = variables_shardings(tree, mesh)
+
+        def make(x, s):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx, a=arr: a[idx])
+
+        return jax.tree.map(make, tree, shardings)
+
     state = state.replace(
-        params=jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                replicated, np.asarray(x)), state.params),
-        batch_stats=jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                replicated, np.asarray(x)), state.batch_stats),
-        opt_state=jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                replicated, np.asarray(x)), state.opt_state),
+        params=host_to_global(state.params),
+        batch_stats=host_to_global(state.batch_stats),
+        opt_state=host_to_global(state.opt_state),
     )
 
     # global batch assembled from per-process local shards (how a real
@@ -126,7 +134,8 @@ def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
     process_id, num_processes, port = (int(a) for a in argv[:3])
     devices = int(argv[3]) if len(argv) > 3 else 2
-    result = run_worker(process_id, num_processes, port, devices)
+    model_axis = int(argv[4]) if len(argv) > 4 else 1
+    result = run_worker(process_id, num_processes, port, devices, model_axis)
     print(f"MULTIHOST_OK process={process_id} "
           f"devices={result['global_devices']} "
           f"processes={result['process_count']} loss={result['loss']:.6f}",
