@@ -70,6 +70,9 @@ def main(argv=None):
     p.add_argument("--stats-interval", type=float, default=0.0,
                    metavar="SECONDS",
                    help="Emit a JSON stats line to stderr at this interval")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="Skip precompiling the bucket executables (first "
+                        "flush at each bucket size will stall on compile)")
     args = p.parse_args(argv)
     if (args.jsonl is None) == (args.synthetic is None):
         p.error("exactly one of --jsonl / --synthetic is required")
@@ -103,6 +106,10 @@ def main(argv=None):
         config, variables, batch_size=args.batch,
         transfer_dtype=jnp.bfloat16 if args.bf16_transfer else None,
         temperature=temperature)
+    if not args.no_warmup:
+        print(f"compiling {len(scorer.bucket_sizes)} bucket executables "
+              f"{scorer.bucket_sizes}...", file=sys.stderr)
+        scorer.warmup()
 
     if args.synthetic is not None:
         from ..data.synthetic import synthetic_packets

@@ -307,6 +307,28 @@ class AlertStreamScorer:
 
     # ------------------------------ APIs ------------------------------
 
+    def warmup(self) -> None:
+        """Compile every bucket's executable up front.
+
+        Without this, the FIRST partial flush at each new bucket size hits
+        an XLA compile mid-stream (seconds locally, minutes through a
+        remote relay) while alerts queue behind it.  Pair with
+        utils/compile_cache so subsequent process restarts skip even the
+        warmup compiles.  cli.serve runs this before consuming.
+        """
+        wire = np.dtype(self.transfer_dtype) if self.transfer_dtype \
+            else np.float32
+        for bs in self.bucket_sizes:
+            img = None
+            if self.config.need_triplets:
+                img = jnp.asarray(np.zeros((bs, 63, 63, 3), wire))
+            meta = None
+            if self.config.need_metadata:
+                ncols = len(self.config["metadata_cols"])
+                meta = jnp.asarray(np.zeros((bs, ncols), np.float32))
+            scores, corrupt = self._fwd(self.variables, img, meta)
+            jax.block_until_ready((scores, corrupt))
+
     def __call__(self, packets: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         """packets: alert dicts with cutout{Science,Template,Difference}
         stampData blobs and (for multi-modal models) a ``candidate`` dict

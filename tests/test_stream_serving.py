@@ -380,3 +380,16 @@ def test_malformed_packet_drops_alert_not_daemon():
     scores, drop = scorer(packets)
     assert list(drop) == [False, True, True, True]
     assert np.isfinite(scores[0]) and np.all(np.isnan(scores[1:]))
+
+
+def test_warmup_compiles_buckets_and_scores_match():
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=64,
+                               dtype=jnp.float32, bucket_sizes=[8, 64])
+    scorer.warmup()
+    cold = AlertStreamScorer(config, variables, batch_size=64,
+                             dtype=jnp.float32, bucket_sizes=[8, 64])
+    packets = _mk_packets(5, seed=12)
+    np.testing.assert_allclose(scorer(packets)[0], cold(packets)[0],
+                               rtol=1e-6)
