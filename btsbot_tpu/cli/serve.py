@@ -97,7 +97,7 @@ def main(argv=None):
                     json.load(f)["calibration"]["temperature"])
             print(f"calibration temperature {temperature} from {perf_path}",
                   file=sys.stderr)
-        except (OSError, KeyError, ValueError):
+        except (OSError, KeyError, ValueError, TypeError):
             print(f"no calibration in {perf_path}; serving uncalibrated "
                   "(run cli.val --calibrate first)", file=sys.stderr)
     else:

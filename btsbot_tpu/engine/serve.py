@@ -51,6 +51,25 @@ def _pick_bucket(ladder: list[int], n: int) -> int:
     return ladder[-1]
 
 
+def _gather_metadata(packets: list[dict], cols) -> np.ndarray:
+    """Per-alert metadata gather that survives malformed broker messages:
+    a missing/null ``candidate`` dict or a non-numeric field value yields
+    0.0 for that cell (mirroring the per-alert cutout handling) instead of
+    raising out of the daemon loop."""
+    rows = np.zeros((len(packets), len(cols)), np.float32)
+    for i, p in enumerate(packets):
+        cand = p.get("candidate")
+        if not isinstance(cand, dict):
+            continue
+        for j, c in enumerate(cols):
+            v = cand.get(c, 0.0)
+            try:
+                rows[i, j] = float(v)
+            except (TypeError, ValueError):
+                pass  # non-numeric value -> 0.0, same as missing
+    return rows
+
+
 class AlertScorer:
     """Fixed-batch scorer: pads the tail, returns scores in input order.
 
@@ -92,6 +111,11 @@ class AlertScorer:
         self.variables = variables
         need_triplets = self.config.need_triplets
         need_metadata = self.config.need_metadata
+        # captured in a local so every lazily-compiled bucket executable
+        # bakes in the SAME value; self.temperature is immutable after
+        # construction (mutating it would otherwise yield inconsistent
+        # scores across batch sizes)
+        temperature = self.temperature
 
         def score(variables, images, metadata):
             if images is not None:
@@ -106,8 +130,8 @@ class AlertScorer:
                 metadata_input=metadata if need_metadata else None,
                 train=False)
             z = logits.reshape(-1).astype(jnp.float32)
-            if self.temperature != 1.0:
-                z = z / jnp.float32(self.temperature)
+            if temperature != 1.0:
+                z = z / jnp.float32(temperature)
             return jax.nn.sigmoid(z)
 
         self._score = jax.jit(score)
@@ -216,6 +240,9 @@ class AlertStreamScorer:
         need_meta = self.config.need_metadata
 
         need_triplets = self.config.need_triplets
+        # local capture: keeps all bucket executables consistent (see
+        # AlertScorer) — self.temperature is immutable after construction
+        temperature = self.temperature
 
         def fwd(variables, raw_triplets, metadata):
             imgs = corrupt = None
@@ -230,8 +257,8 @@ class AlertStreamScorer:
                                 else None),
                 train=False)
             z = logits.reshape(-1).astype(jnp.float32)
-            if self.temperature != 1.0:
-                z = z / jnp.float32(self.temperature)
+            if temperature != 1.0:
+                z = z / jnp.float32(temperature)
             scores = jax.nn.sigmoid(z)
             if corrupt is None:  # metadata-only model: nothing to corrupt
                 corrupt = jnp.zeros(scores.shape, bool)
@@ -250,10 +277,8 @@ class AlertStreamScorer:
         if not self.config.need_triplets:
             metadata = None
             if self.config.need_metadata:
-                cols = self.config["metadata_cols"]
-                metadata = np.asarray(
-                    [[float(p["candidate"].get(c, 0.0)) for c in cols]
-                     for p in packets], dtype=np.float32)
+                metadata = _gather_metadata(
+                    packets, self.config["metadata_cols"])
             return None, metadata, np.zeros(n, bool)
         from ..native import decode_stamps
 
@@ -274,10 +299,7 @@ class AlertStreamScorer:
         decode_bad = status.reshape(n, 3).any(axis=1)
         metadata = None
         if self.config.need_metadata:
-            cols = self.config["metadata_cols"]
-            metadata = np.asarray(
-                [[float(p["candidate"].get(c, 0.0)) for c in cols]
-                 for p in packets], dtype=np.float32)
+            metadata = _gather_metadata(packets, self.config["metadata_cols"])
         return triplets, metadata, decode_bad
 
     def _dispatch(self, triplets, metadata, n: int):
@@ -555,17 +577,36 @@ class AlertStreamConsumer:
         return self.stats
 
     def start(self) -> None:
-        """Run the consumer loop in a background daemon thread."""
+        """Run the consumer loop in a background daemon thread.
+
+        Any exception run() raises (e.g. a mid-stream source failure) is
+        captured and re-raised from stop() — a background consumer must not
+        lose the error to the daemon thread."""
         import threading
 
-        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._run_error: BaseException | None = None
+
+        def target():
+            try:
+                self.run()
+            except BaseException as e:  # noqa: BLE001 — re-raised in stop()
+                self._run_error = e
+
+        self._thread = threading.Thread(target=target, daemon=True)
         self._thread.start()
 
     def stop(self, timeout: float = 10.0) -> dict:
-        """Signal shutdown, drain in-flight work, join, and return stats."""
+        """Signal shutdown, drain in-flight work, join, and return stats.
+
+        Re-raises any exception the background run() loop died with."""
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+        err = getattr(self, "_run_error", None)
+        if err is not None:
+            raise RuntimeError(
+                "background consumer failed (stats: "
+                f"{json.dumps(self.stats)})") from err
         return self.stats
 
 

@@ -26,7 +26,8 @@ from .loss import binary_kd_loss, weighted_bce_with_logits
 from .state import TrainState
 
 
-def make_train_step(model, tx, config, donate: bool = False, teacher=None):
+def make_train_step(model, tx, config, donate: bool = False, teacher=None,
+                    mesh=None):
     """donate=True donates the input TrainState's buffers to the update
     (in-place param/optimizer memory, no copy per step) — use in training
     loops that immediately rebind the state; leave False when the caller
@@ -40,13 +41,22 @@ def make_train_step(model, tx, config, donate: bool = False, teacher=None):
     second dispatch — and its weights never receive gradients; they enter
     as jit arguments (not closure constants) so they are never embedded in
     the serialized program.
+
+    mesh: pass the training mesh when distilling under sharded state — the
+    teacher's weights are placed with the same parallel.sharding rules as
+    the student's, so the jitted step sees consistent shardings instead of
+    single-device-committed teacher arrays fighting a sharded student.
     """
     need_triplets = config.need_triplets
     need_metadata = config.need_metadata
     if teacher is not None:
         teacher_model, teacher_variables = teacher
-        teacher_variables = jax.tree_util.tree_map(jnp.asarray,
-                                                   teacher_variables)
+        if mesh is not None:
+            from ..parallel.sharding import shard_variables
+            teacher_variables = shard_variables(teacher_variables, mesh)
+        else:
+            teacher_variables = jax.tree_util.tree_map(jnp.asarray,
+                                                       teacher_variables)
         distill_alpha = float(config.get("distill_alpha", 0.5))
         distill_temp = float(config.get("distill_temperature", 2.0))
     aug_flags = dict(

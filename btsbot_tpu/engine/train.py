@@ -135,7 +135,7 @@ def run_training(
     else:
         # the loop rebinds state every step, so donate its buffers
         train_step = make_train_step(model, tx, config, donate=True,
-                                     teacher=teacher)
+                                     teacher=teacher, mesh=mesh)
     if teacher is not None:
         log(f"Distilling from teacher "
             f"(alpha={config.get('distill_alpha', 0.5)}, "

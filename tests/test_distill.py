@@ -240,3 +240,29 @@ def test_distill_with_device_resident_data(tmp_path):
         log=lambda *_: None)
     hist = result["history"]
     assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+@pytest.mark.slow
+def test_distill_under_mesh_shards_teacher(tmp_path):
+    """Distillation with a sharded mesh: teacher weights must be placed by
+    the same sharding rules as the student state (ADVICE r2) — the combined
+    step compiles and trains on an 8-virtual-device mesh."""
+    from btsbot_tpu.parallel.mesh import make_mesh
+
+    train_ds = synthetic_dataset(128, seed=0)
+    val_ds = synthetic_dataset(64, seed=1)
+    t_result = run_training(
+        TEACHER_CFG, run_name="teacher", out_root=str(tmp_path),
+        train_ds=train_ds, val_ds=val_ds, make_figure=False,
+        log=lambda *_: None)
+
+    mesh = make_mesh(data=4, model=2)
+    result = distill_to_student(
+        teacher_dir=t_result["model_dir"],
+        student_kind="inceptionnext_atto",
+        student_config=None, run_name="student_mesh",
+        out_root=str(tmp_path / "sm"), mesh=mesh,
+        train_ds=train_ds, val_ds=val_ds, make_figure=False,
+        log=lambda *_: None)
+    hist = result["history"]
+    assert hist["train_loss"][-1] < hist["train_loss"][0]

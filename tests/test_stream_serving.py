@@ -393,3 +393,55 @@ def test_warmup_compiles_buckets_and_scores_match():
     packets = _mk_packets(5, seed=12)
     np.testing.assert_allclose(scorer(packets)[0], cold(packets)[0],
                                rtol=1e-6)
+
+
+def test_malformed_candidate_survives_metadata_gather():
+    """A missing/null candidate dict or non-numeric field values must not
+    kill the batch (ADVICE r2 medium): those metadata cells read 0.0 and
+    the alert is still scored."""
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=8,
+                               dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    packets = [_packet(rng) for _ in range(4)]
+    del packets[1]["candidate"]                 # missing candidate
+    packets[2]["candidate"] = None              # null candidate
+    packets[3]["candidate"]["m0"] = "not-a-number"  # non-numeric value
+
+    scores, drop = scorer(packets)
+    assert scores.shape == (4,)
+    assert not drop.any()          # cutouts are fine — nothing dropped
+    assert np.all(np.isfinite(scores))
+
+    # the malformed cells behave exactly as 0.0
+    zeroed = [dict(p) for p in packets]
+    zeroed[1]["candidate"] = {}
+    zeroed[2]["candidate"] = {}
+    zeroed[3] = dict(packets[3],
+                     candidate={**packets[3]["candidate"], "m0": 0.0})
+    np.testing.assert_allclose(scores, scorer(zeroed)[0], rtol=1e-6)
+
+
+def test_background_consumer_reraises_from_stop():
+    """start()/stop() must surface a mid-stream source failure instead of
+    silently returning stats from the dead daemon thread (ADVICE r2)."""
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    packets = _mk_packets(3, seed=14)
+
+    def bad_source():
+        yield from packets
+        raise RuntimeError("broker exploded")
+
+    consumer = AlertStreamConsumer(
+        scorer, bad_source(), sink=lambda p, s, d: None,
+        max_batch=4, max_wait_s=0.02)
+    consumer.start()
+    consumer._thread.join(30.0)
+    with pytest.raises(RuntimeError, match="background consumer failed"):
+        consumer.stop()
