@@ -4,6 +4,7 @@ teacher, and the teacher-dir → faster-student end-to-end workflow
 from labels)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
