@@ -12,11 +12,11 @@ broker→scores path end to end:
     source = kafka_packet_source(consumer)
     AlertStreamConsumer(scorer, source, sink).run()
 
-``confluent_kafka`` / ``fastavro`` are deployment-image dependencies, not
-required here: the consumer object is injectable (any object with
-``poll(timeout)`` returning messages with ``error()``/``value()``), and the
-default deserializer handles both JSON packets and ZTF's Avro OCF framing
-(magic ``Obj\\x01``) when fastavro is importable.
+``confluent_kafka`` is a deployment-image dependency, not required here:
+the consumer object is injectable (any object with ``poll(timeout)``
+returning messages with ``error()``/``value()``).  The default deserializer
+handles both JSON packets and ZTF's Avro OCF framing (magic ``Obj\\x01``)
+with the in-repo dependency-free codec (data/avro.py) — no fastavro needed.
 """
 
 from __future__ import annotations
@@ -36,11 +36,9 @@ def deserialize_packet(raw: bytes) -> dict:
     to the caller's deserialize hook).
     """
     if raw[:4] == AVRO_MAGIC:
-        import io
+        from .avro import read_ocf
 
-        import fastavro
-
-        records = list(fastavro.reader(io.BytesIO(raw)))
+        _, records = read_ocf(bytes(raw))
         if len(records) != 1:
             raise ValueError(
                 f"expected 1 Avro record per alert message, got "

@@ -67,9 +67,22 @@ def test_error_handling():
 
 
 def test_avro_magic_routing():
-    with pytest.raises((ImportError, ValueError)):
-        # Avro framing is detected; decoding needs fastavro (gated)
+    # Avro framing is detected and routed to the in-repo codec; a truncated
+    # container fails loudly instead of being mis-parsed as JSON
+    with pytest.raises((EOFError, ValueError)):
         deserialize_packet(b"Obj\x01" + b"\x00" * 16)
+
+    # a real single-record OCF decodes without any optional dependency
+    from btsbot_tpu.data.avro import write_ocf, ztf_alert_schema
+
+    packet = {"objectId": "ZTF25x", "candid": 7,
+              "candidate": {"magpsf": 18.5},
+              "cutoutScience": None, "cutoutTemplate": None,
+              "cutoutDifference": None}
+    raw = write_ocf(ztf_alert_schema(["magpsf"]), [packet])
+    got = deserialize_packet(raw)
+    assert got["objectId"] == "ZTF25x" and got["candid"] == 7
+    assert got["candidate"]["magpsf"] == 18.5
 
 
 def test_kafka_source_through_serving_daemon():
