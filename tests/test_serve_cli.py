@@ -181,3 +181,53 @@ def test_serve_cli_auto_temperature(tmp_path, capsys):
                 "--out", str(out3), "--temperature", "auto"])
     assert "serving uncalibrated" in capsys.readouterr().err
     assert len(out3.read_text().splitlines()) == 4
+
+
+def test_val_cli_run_id_revalidation(tmp_path):
+    """`cli.val --run-id`: config, run name, and training history come from
+    an (injectable) tracking API; the local run dir resolves from the
+    training naming convention; diagnostics re-run and perf.json lands in
+    the run dir — the reference's logged-run re-validation workflow
+    (val.py:685-737) with a fake API, offline."""
+    import pandas as pd
+
+    from btsbot_tpu.cli.val import main as val_main
+    from btsbot_tpu.metrics.report import load_report_config
+    from test_engine import META_COLS
+
+    model_dir, cfg = _train_model_dir(tmp_path)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    ds = synthetic_dataset(96, seed=3)
+    np.save(data_dir / "val_triplets_vtest_N100.npy", ds.images)
+    df = pd.DataFrame(ds.metadata, columns=META_COLS)
+    df["label"] = ds.labels
+    df["objectId"] = [f"ZTFr{i // 4:04d}" for i in range(len(df))]
+    df["candid"] = np.arange(len(df))
+    df["jd"] = 2459000.0 + np.arange(len(df)) * 0.1
+    df["magpsf"] = 18.0 + 0.01 * np.arange(len(df))
+    df.to_csv(data_dir / "val_cand_vtest_N100.csv", index=False)
+
+    logged_config = load_report_config(model_dir)
+
+    class _FakeRun:
+        config = logged_config
+        name = "m"
+
+        @staticmethod
+        def history():
+            return {"train_loss": [0.7, 0.5], "train_accuracy": [0.5, 0.8],
+                    "val_loss": [0.72, 0.55], "val_accuracy": [0.5, 0.75]}
+
+    class _FakeApi:
+        def run(self, path):
+            assert path == "BTSbot/runs/abc123", path
+            return _FakeRun()
+
+    val_main(["--run-id", "abc123", "--out-root", str(tmp_path),
+              "--data-dir", str(data_dir), "--figure"], api=_FakeApi())
+
+    run_dir = tmp_path / "mm_cnn_vtest_N100_tpu" / "m"
+    perf = json.loads((run_dir / "perf.json").read_text())
+    assert "roc_auc" in perf and "policy_performance" in perf
+    assert (run_dir / "val_diagnostics.pdf").exists()
