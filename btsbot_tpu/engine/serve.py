@@ -311,13 +311,19 @@ class AlertStreamScorer:
         if triplets is not None:
             wire = np.dtype(self.transfer_dtype) if self.transfer_dtype \
                 else np.float32
-            img = np.zeros((bs, 63, 63, 3), wire)
-            img[:n] = triplets[:n].astype(wire)
+            if n == bs:  # full batch: one cast/no-op, no pad copy
+                img = np.ascontiguousarray(triplets[:n], dtype=wire)
+            else:
+                img = np.zeros((bs, 63, 63, 3), wire)
+                img[:n] = triplets[:n]
             img = jnp.asarray(img)
         meta = None
         if metadata is not None:
-            meta = np.zeros((bs,) + metadata.shape[1:], np.float32)
-            meta[:n] = metadata[:n]
+            if n == bs:
+                meta = np.ascontiguousarray(metadata[:n], dtype=np.float32)
+            else:
+                meta = np.zeros((bs,) + metadata.shape[1:], np.float32)
+                meta[:n] = metadata[:n]
             meta = jnp.asarray(meta)
         return self._fwd(self.variables, img, meta)
 
@@ -373,20 +379,50 @@ class AlertStreamScorer:
         """Pipelined scoring over an iterable of packet lists (each ≤
         batch_size).  Yields (scores, drop) per input batch, in order.
 
-        Keeps up to ``max_in_flight`` batches dispatched on the device: the
-        next batch's host decode runs while the device computes, and the
-        bounded window applies backpressure to the producer (the iterable
-        is only advanced as fast as results drain).
+        Three overlapped stages: a background thread runs the host decode
+        (``_prepare`` — the native decoder releases the GIL, so it runs
+        concurrently with everything below), the generator thread pads +
+        transfers + launches the device program (``_dispatch``), and up to
+        ``max_in_flight`` batches stay dispatched on the device while the
+        readback of the oldest completes.  The bounded prepared-queue plus
+        the in-flight window apply backpressure to the producer: the input
+        iterable is only advanced as fast as results drain.
+
+        Round-2 shape (decode inline with dispatch in one loop) recovered
+        only ~45% of the host-side bound because decode, transfer, and
+        readback all serialized on the generator thread; with the decode
+        thread the end-to-end rate approaches min(decode, link, compute)
+        instead of their sum (measured in bench.py's pipeline_efficiency).
         """
+        import queue as _queue
+        import threading
         from collections import deque
 
+        prepared: _queue.Queue = _queue.Queue(maxsize=max(1, max_in_flight))
+        decode_error: list[BaseException] = []
+
+        def decode_worker():
+            try:
+                for packets in packet_batches:
+                    if len(packets) > self.batch_size:
+                        raise ValueError(
+                            f"stream batch of {len(packets)} exceeds "
+                            f"compiled batch_size {self.batch_size}")
+                    prepared.put((packets, self._prepare(packets)))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                decode_error.append(e)
+            finally:
+                prepared.put(None)
+
+        worker = threading.Thread(target=decode_worker, daemon=True)
+        worker.start()
+
         inflight: deque = deque()
-        for packets in packet_batches:
-            if len(packets) > self.batch_size:
-                raise ValueError(
-                    f"stream batch of {len(packets)} exceeds compiled "
-                    f"batch_size {self.batch_size}")
-            triplets, metadata, decode_bad = self._prepare(packets)
+        while True:
+            item = prepared.get()
+            if item is None:
+                break
+            packets, (triplets, metadata, decode_bad) = item
             handles = self._dispatch(triplets, metadata, len(packets))
             inflight.append((handles, decode_bad, len(packets)))
             if len(inflight) >= max_in_flight:
@@ -395,6 +431,9 @@ class AlertStreamScorer:
         while inflight:
             (s, c), bad, n = inflight.popleft()
             yield self._finish(s, c, bad, n)
+        worker.join()
+        if decode_error:
+            raise decode_error[0]
 
 
 class AlertStreamConsumer:
@@ -435,6 +474,12 @@ class AlertStreamConsumer:
         self._last_stats_emit = 0.0
         self.stats = {"alerts_in": 0, "alerts_scored": 0, "dropped": 0,
                       "batches": 0, "wall_s": 0.0, "alerts_per_s": 0.0}
+        # enqueue→score latency percentiles (serving SLO): each batch is
+        # stamped when its FIRST packet is collected, so the recorded value
+        # is the batch's worst-case alert latency (includes the max_wait_s
+        # batching delay, decode, transfer, compute, and readback)
+        from collections import deque as _deque
+        self._latencies = _deque(maxlen=8192)
         # 20-bin score histogram (edges 0.0,0.05,…,1.0): the cheap drift
         # signal — a shifting score distribution is the first sign of
         # upstream data drift or a miscalibrated model (see
@@ -480,19 +525,20 @@ class AlertStreamConsumer:
             self._feeder.start()
 
     def _collect_batch(self, idle_poll_s: float = 0.05):
-        """Adaptive batching step: a packet list of up to max_batch (partial
-        batches flush max_wait_s after their first packet), ``[]`` when the
-        source is idle (so the caller can drain in-flight results), or
-        ``None`` on shutdown."""
+        """Adaptive batching step: (packets, first_arrival_monotonic) with
+        up to max_batch packets (partial batches flush max_wait_s after
+        their first packet), ``([], None)`` when the source is idle (so the
+        caller can drain in-flight results), or ``None`` on shutdown."""
         import queue as _queue
 
         if self._done:
             return None
         batch: list = []
+        first_ts = None
         deadline = None
         while len(batch) < self.max_batch:
             if self._stop.is_set():
-                return batch or None
+                return (batch, first_ts) if batch else None
             timeout = idle_poll_s if deadline is None \
                 else max(0.0, deadline - time.monotonic())
             try:
@@ -500,38 +546,74 @@ class AlertStreamConsumer:
             except _queue.Empty:
                 if batch:
                     break  # flush partial batch on max_wait_s timeout
-                return []  # idle — let the caller drain the pipeline
+                return [], None  # idle — let the caller drain the pipeline
             if item is None:
                 self._done = True
                 break
             batch.append(item)
             if deadline is None:
-                deadline = time.monotonic() + self.max_wait_s
+                first_ts = time.monotonic()
+                deadline = first_ts + self.max_wait_s
         if self._done and not batch:
             return None
-        return batch
+        return batch, first_ts
+
+    def _latency_stats(self) -> None:
+        if self._latencies:
+            p50, p99 = np.percentile(np.asarray(self._latencies), [50, 99])
+            self.stats["latency_p50_ms"] = round(float(p50) * 1000, 2)
+            self.stats["latency_p99_ms"] = round(float(p99) * 1000, 2)
 
     def run(self) -> dict:
         """Consume until the source is exhausted (or stop()); returns stats.
 
-        Keeps up to ``max_in_flight`` batches computing on the device; while
-        the device works, the loop collects/decodes the next batch.  When
-        the source goes idle, in-flight results drain immediately instead of
-        waiting for more input.
+        Pipeline mirrors ``score_stream``: a background thread decodes
+        collected batches (the native decoder releases the GIL), this
+        thread pads/transfers/launches and drains results, and up to
+        ``max_in_flight`` batches stay computing on the device.  When the
+        source goes idle, in-flight results drain immediately instead of
+        waiting for more input.  Backpressure: at most one decoded +
+        ``max_in_flight`` prepared/pending batches are held; a bounded
+        queue source blocks the broker when scoring falls behind.
         """
+        import queue as _queue
+        import threading
         from collections import deque
 
         t0 = time.perf_counter()
         self._done = False
         inflight: deque = deque()
 
+        raw_q: _queue.Queue = _queue.Queue(maxsize=1)
+        ready_q: _queue.Queue = _queue.Queue(
+            maxsize=max(1, self.max_in_flight))
+        decode_error: list[BaseException] = []
+
+        def decode_worker():
+            try:
+                while True:
+                    item = raw_q.get()
+                    if item is None:
+                        break
+                    batch, ts = item
+                    ready_q.put((batch, ts, self.scorer._prepare(batch)))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                decode_error.append(e)
+            finally:
+                ready_q.put(None)
+
+        worker = threading.Thread(target=decode_worker, daemon=True)
+        worker.start()
+
         def finish_oldest():
-            packets, handles, decode_bad = inflight.popleft()
+            packets, ts, handles, decode_bad = inflight.popleft()
             scores, drop = self.scorer._finish(
                 handles[0], handles[1], decode_bad, len(packets))
             self.stats["alerts_scored"] += len(scores)
             self.stats["dropped"] += int(drop.sum())
             self.stats["batches"] += 1
+            if ts is not None:
+                self._latencies.append(time.monotonic() - ts)
             kept = scores[~drop]
             if kept.size:
                 self._score_hist += np.bincount(
@@ -544,31 +626,80 @@ class AlertStreamConsumer:
                 if now - self._last_stats_emit >= self.stats_interval_s:
                     self._last_stats_emit = now
                     wall = time.perf_counter() - t0
+                    self._latency_stats()
                     self.stats_log(json.dumps({
                         **self.stats, "wall_s": round(wall, 3),
                         "alerts_per_s": round(
                             self.stats["alerts_scored"] / max(wall, 1e-9),
                             1)}))
 
-        while True:
-            batch = self._collect_batch()
-            if batch is None:
-                break
-            if batch:
-                self.stats["alerts_in"] += len(batch)
-                prep = self.scorer._prepare(batch)
+        def drain_ready(block: bool) -> bool:
+            """Dispatch prepared batches; False once the decoder signalled
+            end of stream."""
+            while True:
+                try:
+                    item = ready_q.get(block=block,
+                                       timeout=None if not block else 10.0)
+                except _queue.Empty:
+                    return True
+                if item is None:
+                    return False
+                batch, ts, prep = item
                 handles = self.scorer._dispatch(prep[0], prep[1], len(batch))
-                inflight.append((batch, handles, prep[2]))
+                inflight.append((batch, ts, handles, prep[2]))
                 if len(inflight) >= self.max_in_flight:
                     finish_oldest()
-            elif inflight:
-                finish_oldest()
+                if not block:
+                    continue
+                block = False  # blocking drain only waits for the first item
+
+        decoding = True
+        while True:
+            collected = self._collect_batch()
+            if collected is None:
+                break
+            batch, ts = collected
+            if batch:
+                self.stats["alerts_in"] += len(batch)
+                while decoding:
+                    # never block on the decoder with results undrained —
+                    # alternating put/drain avoids the full-queues deadlock
+                    decoding = drain_ready(block=False)
+                    try:
+                        raw_q.put((batch, ts), timeout=0.05)
+                        break
+                    except _queue.Full:
+                        continue
+            else:
+                decoding = drain_ready(block=False) and decoding
+                if inflight:
+                    finish_oldest()
+            if not decoding:
+                break  # decoder died mid-stream — surface the error below
+
+        # deliver the decoder's shutdown sentinel; the decoder may still be
+        # busy with the final batch (raw_q full), so keep draining results
+        # while waiting — put_nowait here would strand the worker on
+        # raw_q.get() forever and spin the final drain
+        while decoding:
+            try:
+                raw_q.put(None, timeout=0.05)
+                break
+            except _queue.Full:
+                decoding = drain_ready(block=False) and decoding
+        while decoding:
+            decoding = drain_ready(block=True)
         while inflight:
             finish_oldest()
+        worker.join()
+
         self.stats["wall_s"] = time.perf_counter() - t0
         if self.stats["wall_s"] > 0:
             self.stats["alerts_per_s"] = \
                 self.stats["alerts_scored"] / self.stats["wall_s"]
+        self._latency_stats()
+        if decode_error:
+            raise decode_error[0]
         if self._source_error is not None:
             raise RuntimeError(
                 "alert source failed mid-stream (scored "

@@ -7,9 +7,16 @@ the label through a magnitude-like latent, informative + nuisance metadata
 columns, per-object alert groups with jd/magpsf light-curve structure so
 the policy replay runs), then records ROC-AUC / balanced accuracy / policy
 metrics through the full diagnostics stack.  Results land in
-docs/quality_run/ (report.json per model + summary.json) — the
-reproducible quality evidence against BASELINE.md's "val ROC-AUC parity"
-bar (reference computes these at val.py:185-221).
+docs/quality_run/ (report.json per model + summary.json).
+
+The headline fixture is the HARD benchmark (overlapping magnitude
+distributions, non-saturated — ~0.95 ROC-AUC ceiling); ``--easy`` keeps
+the earlier separable benchmark for continuity with round-2 artifacts.
+NOTE: this is synthetic-data evidence that the training engine reaches the
+achievable ceiling of the fixture — it is NOT ROC-AUC parity with the
+reference's real trained models, which is unprovable offline (reference
+computes the real metrics at val.py:185-221; see interop/manifests.py for
+the real-checkpoint closure plan).
 
 Run:  python scripts/quality_run.py [--out docs/quality_run] [--cpu]
 """
@@ -165,6 +172,13 @@ def main():
     p.add_argument("--objects", type=int, default=2500)
     p.add_argument("--epochs", type=int, default=25)
     p.add_argument("--models", default="mm_cnn,mm_ConvNeXt")
+    p.add_argument("--easy", action="store_true",
+                   help="Use the separable (near-saturated) benchmark "
+                        "instead of the default hard one.  The hard "
+                        "benchmark (overlapping magnitude distributions, "
+                        "~0.95 ROC-AUC ceiling) is the headline quality "
+                        "fixture: the easy one saturates at ~0.999 and "
+                        "can't distinguish models (VERDICT r2 weak #3).")
     args = p.parse_args()
 
     import jax
@@ -178,10 +192,11 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     print(f"device: {jax.devices()[0]}", flush=True)
 
+    hard = not args.easy
     t0 = time.time()
-    train_ds = make_dataset(args.objects, (4, 12), seed=0)
-    val_ds = make_dataset(args.objects // 8, (4, 12), seed=1)
-    test_ds = make_dataset(args.objects // 8, (4, 12), seed=2)
+    train_ds = make_dataset(args.objects, (4, 12), seed=0, hard=hard)
+    val_ds = make_dataset(args.objects // 8, (4, 12), seed=1, hard=hard)
+    test_ds = make_dataset(args.objects // 8, (4, 12), seed=2, hard=hard)
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val / "
           f"{len(test_ds)} test alerts ({time.time() - t0:.0f}s)", flush=True)
 
@@ -214,6 +229,7 @@ def main():
         s["wall_s"] = round(wall, 1)
         s["model_dir"] = result["model_dir"]
         s["epochs_ran"] = len(result["history"]["val_loss"])
+        s["benchmark"] = "hard" if hard else "easy"
         summary[name] = s
         print(f"{name}: {json.dumps(s)}", flush=True)
 

@@ -445,3 +445,23 @@ def test_background_consumer_reraises_from_stop():
     consumer._thread.join(30.0)
     with pytest.raises(RuntimeError, match="background consumer failed"):
         consumer.stop()
+
+
+def test_consumer_latency_percentiles():
+    """Daemon stats carry enqueue→score latency percentiles (serving SLO,
+    VERDICT r2 #6): batches are stamped at first-packet collection, so the
+    p50/p99 include batching wait, decode, transfer, compute, readback."""
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    packets = _mk_packets(10, seed=15)
+    consumer = AlertStreamConsumer(
+        scorer, iter(packets), sink=lambda *_: None,
+        max_batch=4, max_wait_s=0.02)
+    stats = consumer.run()
+    assert stats["alerts_scored"] == 10
+    assert stats["latency_p50_ms"] > 0
+    assert stats["latency_p99_ms"] >= stats["latency_p50_ms"]
