@@ -465,3 +465,37 @@ def test_consumer_latency_percentiles():
     assert stats["alerts_scored"] == 10
     assert stats["latency_p50_ms"] > 0
     assert stats["latency_p99_ms"] >= stats["latency_p50_ms"]
+
+
+def test_alert_scorer_f32_matches_training_graph():
+    """AlertScorer(dtype=f32) vs the raw eval graph at the reference's
+    deployment tolerance rtol 1e-4 / atol 1e-5 (to_onnx.py:135-137) — the
+    direct f32 serving-chain check (VERDICT r2 weak #4; previously covered
+    only indirectly via the ONNX path).  Exercises the bucket ladder too:
+    21 alerts through batch_size 16 hit a full batch + a padded tail."""
+    from btsbot_tpu import build_model
+    from btsbot_tpu.engine.serve import AlertScorer
+
+    config = normalize_config(SMALL_CFG)
+    model, variables = init_model(config, rng=0)
+    rng = np.random.default_rng(21)
+    triplets = rng.normal(size=(21, 63, 63, 3)).astype(np.float32)
+    meta = rng.normal(size=(21, 25)).astype(np.float32)
+
+    scorer = AlertScorer(config, variables, batch_size=16,
+                         dtype=jnp.float32, bucket_sizes=[8, 16])
+    got = scorer(triplets=triplets, metadata=meta)
+
+    logits = build_model(config).apply(
+        variables, image_input=jnp.asarray(triplets),
+        metadata_input=jnp.asarray(meta), train=False)
+    want = np.asarray(jax.nn.sigmoid(logits.reshape(-1)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # calibrated serving stays a pure temperature reparameterization
+    cal = AlertScorer(config, variables, batch_size=16, dtype=jnp.float32,
+                      temperature=1.7)
+    want_cal = np.asarray(jax.nn.sigmoid(
+        logits.reshape(-1).astype(jnp.float32) / 1.7))
+    np.testing.assert_allclose(cal(triplets=triplets, metadata=meta),
+                               want_cal, rtol=1e-4, atol=1e-5)
