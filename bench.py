@@ -152,10 +152,34 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8,
     link_mbps = x.nbytes / 1e6 / link_dt
     link_alerts_per_s = batch / link_dt
 
-    bounds = [decode_rate * (os.cpu_count() or 1), link_alerts_per_s]
-    if compute_rate:
-        bounds.append(compute_rate)
-    bound = min(bounds)
+    # EMPIRICAL host-stage bound: decode (background thread, GIL-released)
+    # and h2d transfers running CONCURRENTLY, exactly like the pipeline's
+    # stages.  On a multi-core host this converges to the slower stage's
+    # rate; on a single core (this environment) decode and the CPU-bound
+    # relay serialization cannot physically overlap and the bound is their
+    # serial sum — assuming overlap would misattribute an environment
+    # limit to pipeline inefficiency.
+    import threading
+
+    k = 3
+    t_dec = [0.0]
+
+    def decode_k():
+        t0 = time.perf_counter()
+        for b in batches[:k]:
+            scorer._prepare(b)
+        t_dec[0] = time.perf_counter() - t0
+
+    th = threading.Thread(target=decode_k)
+    t0 = time.perf_counter()
+    th.start()
+    for _ in range(k):
+        float(fence(jnp.asarray(x)))
+    th.join()
+    overlap_wall = max(time.perf_counter() - t0, t_dec[0])
+    host_bound = k * batch / overlap_wall
+
+    bound = min([host_bound] + ([compute_rate] if compute_rate else []))
 
     return {
         "end_to_end_alerts_per_s": round(e2e_rate, 1),
@@ -163,14 +187,17 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8,
         "host_cores": os.cpu_count(),
         "h2d_link_MB_per_s": round(link_mbps, 1),
         "h2d_link_alerts_per_s": round(link_alerts_per_s, 1),
+        "host_overlap_bound_alerts_per_s": round(host_bound, 1),
         "pipeline_bound_alerts_per_s": round(bound, 1),
         "pipeline_efficiency": round(e2e_rate / bound, 3),
         "end_to_end_note": ("packets->scores incl. gzip+FITS decode, bf16 "
                             "pixel transfer; pipeline_efficiency = e2e / "
-                            "min(host decode x cores, h2d link, device "
-                            "compute) - the binding stages here are the "
-                            "remote-TPU tunnel link and the single host "
-                            "core; both scale on production hosts"),
+                            "min(measured concurrent decode+transfer host "
+                            "bound, device compute). On this 1-core host "
+                            "decode and the CPU-bound relay transfer "
+                            "serialize (bound = their serial sum); on "
+                            "production hosts (many cores, PCIe) the bound "
+                            "rises to the slowest single stage"),
     }
 
 
