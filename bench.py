@@ -102,7 +102,7 @@ def model_flops_per_alert(variables, batch: int = 512) -> float:
     return float(cost.get("flops", 0.0)) / batch
 
 
-def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8,
+def bench_end_to_end(variables, batch: int = 512, n_batches: int = 16,
                      compute_rate: float | None = None) -> dict:
     """Full production path: gzip FITS packets → native decode → device
     ingest+forward → scores, through the pipelined stream scorer (decode
@@ -135,9 +135,12 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 8,
         scorer._prepare(b)
     decode_rate = 2 * batch / (time.perf_counter() - t0)
 
-    list(scorer.score_stream(batches[:2]))  # warmup + compile
+    # max_in_flight=3 hides the per-batch readback round trip (tens of ms
+    # through the remote relay) behind the next batches' decode+transfer
+    list(scorer.score_stream(batches[:3], max_in_flight=3))  # warmup+compile
     t0 = time.perf_counter()
-    done = sum(len(s) for s, _ in scorer.score_stream(batches))
+    done = sum(len(s) for s, _ in
+               scorer.score_stream(batches, max_in_flight=3))
     dt = time.perf_counter() - t0
     e2e_rate = done / dt
 
