@@ -276,16 +276,27 @@ def main():
         result["train_bf16_alerts_per_s"] = round(bench_train_step(), 1)
     except Exception as e:  # noqa: BLE001
         result["train_bench_error"] = str(e)
+    # TPU-native training path: the decomposed mixer removes the dwconv
+    # backward wall (docs/perf_sweep.json train_step_study_r3) — 1.44×
+    # the ConvNeXt step at equal measured quality.
+    try:
+        result["inceptionnext_train_bf16_alerts_per_s"] = round(
+            bench_train_step(model_kind="inceptionnext_pico.r2"), 1)
+    except Exception as e:  # noqa: BLE001
+        result["inceptionnext_train_bench_error"] = str(e)
     print(json.dumps(result))
 
 
-def bench_train_step(batch: int = 4096, iters: int = 10) -> float:
+def bench_train_step(batch: int = 4096, iters: int = 10,
+                     model_kind: str | None = None) -> float:
     from __graft_entry__ import FLAGSHIP_CONFIG
     from btsbot_tpu import init_model, normalize_config
     from btsbot_tpu.engine.state import create_train_state, make_optimizer
     from btsbot_tpu.engine.steps import make_train_step
 
-    cfg = normalize_config({**FLAGSHIP_CONFIG, "compute_dtype": "bfloat16"})
+    cfg = normalize_config({**FLAGSHIP_CONFIG, "compute_dtype": "bfloat16",
+                            **({"model_kind": model_kind}
+                               if model_kind else {})})
     model, variables = init_model(cfg, rng=0, dtype=jnp.bfloat16)
     tx = make_optimizer(cfg, steps_per_epoch=10)
     state = create_train_state(cfg, variables, tx, seed=0)
