@@ -184,7 +184,39 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 16,
 
     bound = min([host_bound] + ([compute_rate] if compute_rate else []))
 
+    # trickle-load latency SLO: a rate-limited stream through the daemon —
+    # the production operating point when ZTF is NOT bursting.  p50/p99 are
+    # batch enqueue→score latencies (include the max_wait batching delay).
+    trickle = {}
+    try:
+        from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+        scorer.warmup()  # both bucket executables — no mid-stream compiles
+
+        def rate_limited(n, rate):
+            t0 = time.perf_counter()
+            for i, p in enumerate(packets[:n]):
+                target = t0 + i / rate
+                delay = target - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+                yield p
+
+        rate = 100.0
+        consumer = AlertStreamConsumer(
+            scorer, rate_limited(256, rate), sink=lambda *_: None,
+            max_batch=batch, max_wait_s=0.1)
+        stats = consumer.run()
+        trickle = {
+            "trickle_rate_alerts_per_s": rate,
+            "trickle_latency_p50_ms": stats.get("latency_p50_ms"),
+            "trickle_latency_p99_ms": stats.get("latency_p99_ms"),
+        }
+    except Exception as e:  # noqa: BLE001 — aux metric must not kill bench
+        trickle = {"trickle_error": str(e)}
+
     return {
+        **trickle,
         "end_to_end_alerts_per_s": round(e2e_rate, 1),
         "host_decode_alerts_per_s": round(decode_rate, 1),
         "host_cores": os.cpu_count(),
