@@ -262,7 +262,11 @@ class AlertStreamScorer:
             scores = jax.nn.sigmoid(z)
             if corrupt is None:  # metadata-only model: nothing to corrupt
                 corrupt = jnp.zeros(scores.shape, bool)
-            return scores, corrupt
+            # ONE packed (2, B) output → one device→host readback per
+            # batch instead of two; through a remote relay each readback
+            # is a full round trip, and at trickle batch sizes the extra
+            # RTT was a measurable e2e tax
+            return jnp.stack([scores, corrupt.astype(jnp.float32)])
 
         self._fwd = jax.jit(fwd)
 
@@ -328,9 +332,10 @@ class AlertStreamScorer:
         return self._fwd(self.variables, img, meta)
 
     @staticmethod
-    def _finish(scores_dev, corrupt_dev, decode_bad, n: int):
-        scores = np.asarray(scores_dev)[:n]
-        drop = np.asarray(corrupt_dev)[:n] | decode_bad[:n]
+    def _finish(packed_dev, decode_bad, n: int):
+        packed = np.asarray(packed_dev)  # single d2h readback (2, bucket)
+        scores = packed[0, :n]
+        drop = (packed[1, :n] > 0.5) | decode_bad[:n]
         return np.where(drop, np.nan, scores), drop
 
     # ------------------------------ APIs ------------------------------
@@ -354,8 +359,7 @@ class AlertStreamScorer:
             if self.config.need_metadata:
                 ncols = len(self.config["metadata_cols"])
                 meta = jnp.asarray(np.zeros((bs, ncols), np.float32))
-            scores, corrupt = self._fwd(self.variables, img, meta)
-            jax.block_until_ready((scores, corrupt))
+            jax.block_until_ready(self._fwd(self.variables, img, meta))
 
     def __call__(self, packets: list[dict]) -> tuple[np.ndarray, np.ndarray]:
         """packets: alert dicts with cutout{Science,Template,Difference}
@@ -426,11 +430,11 @@ class AlertStreamScorer:
             handles = self._dispatch(triplets, metadata, len(packets))
             inflight.append((handles, decode_bad, len(packets)))
             if len(inflight) >= max_in_flight:
-                (s, c), bad, n = inflight.popleft()
-                yield self._finish(s, c, bad, n)
+                packed, bad, n = inflight.popleft()
+                yield self._finish(packed, bad, n)
         while inflight:
-            (s, c), bad, n = inflight.popleft()
-            yield self._finish(s, c, bad, n)
+            packed, bad, n = inflight.popleft()
+            yield self._finish(packed, bad, n)
         worker.join()
         if decode_error:
             raise decode_error[0]
@@ -608,7 +612,7 @@ class AlertStreamConsumer:
         def finish_oldest():
             packets, ts, handles, decode_bad = inflight.popleft()
             scores, drop = self.scorer._finish(
-                handles[0], handles[1], decode_bad, len(packets))
+                handles, decode_bad, len(packets))
             self.stats["alerts_scored"] += len(scores)
             self.stats["dropped"] += int(drop.sum())
             self.stats["batches"] += 1
