@@ -674,3 +674,27 @@ def test_reference_policy_replay_oracle(ref, tmp_path, monkeypatch):
                                    want["peakmag_bins"])
         assert np.isclose(got["med_save_dt"], want["med_save_dt"]), name
         assert np.isclose(got["med_trigger_dt"], want["med_trigger_dt"]), name
+
+
+def test_reference_mm_convnext_ls_variant_glue(ref, real_alerts):
+    """The LS branch of mm_ConvNeXt's surgery (architectures.py:136-141:
+    head keeps pool+norm+flatten when "LS" in train_data_version) executed
+    by the reference's own __init__ on the stub backbone."""
+    import torch
+
+    from btsbot_tpu import normalize_config
+    from torch_mirrors import randomize_bn_stats
+
+    triplets, meta = real_alerts
+    _with_create_model(ref, _fake_timm_convnext())
+    config = normalize_config({
+        "model_name": "mm_ConvNeXt", "model_kind": "convnext_pico.d1_in1k",
+        "train_data_version": "v10LS", "metadata_cols": _REAL_META_COLS,
+        "pretrained": False,
+        "meta_fc1_neurons": 64, "meta_fc2_neurons": 64, "meta_dropout": 0.25,
+        "comb_fc1_neurons": 64, "comb_fc2_neurons": 32, "comb_dropout": 0.2,
+    })
+    torch.manual_seed(58)
+    oracle = ref.architectures.mm_ConvNeXt(dict(config)).eval()
+    randomize_bn_stats(oracle, seed=22)
+    _compare_with_flax(config, oracle, img=triplets, meta=meta)
