@@ -404,6 +404,20 @@ class AlertStreamScorer:
 
         prepared: _queue.Queue = _queue.Queue(maxsize=max(1, max_in_flight))
         decode_error: list[BaseException] = []
+        abandoned = threading.Event()
+
+        def put_or_abandon(item) -> bool:
+            # bounded-wait put so an abandoned generator (caller stops
+            # iterating; GeneratorExit) cannot strand this thread on a
+            # full queue forever — long-running daemons would otherwise
+            # accumulate blocked decode threads
+            while not abandoned.is_set():
+                try:
+                    prepared.put(item, timeout=0.2)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def decode_worker():
             try:
@@ -412,32 +426,36 @@ class AlertStreamScorer:
                         raise ValueError(
                             f"stream batch of {len(packets)} exceeds "
                             f"compiled batch_size {self.batch_size}")
-                    prepared.put((packets, self._prepare(packets)))
+                    if not put_or_abandon((packets, self._prepare(packets))):
+                        return
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 decode_error.append(e)
             finally:
-                prepared.put(None)
+                put_or_abandon(None)
 
         worker = threading.Thread(target=decode_worker, daemon=True)
         worker.start()
 
         inflight: deque = deque()
-        while True:
-            item = prepared.get()
-            if item is None:
-                break
-            packets, (triplets, metadata, decode_bad) = item
-            handles = self._dispatch(triplets, metadata, len(packets))
-            inflight.append((handles, decode_bad, len(packets)))
-            if len(inflight) >= max_in_flight:
+        try:
+            while True:
+                item = prepared.get()
+                if item is None:
+                    break
+                packets, (triplets, metadata, decode_bad) = item
+                handles = self._dispatch(triplets, metadata, len(packets))
+                inflight.append((handles, decode_bad, len(packets)))
+                if len(inflight) >= max_in_flight:
+                    packed, bad, n = inflight.popleft()
+                    yield self._finish(packed, bad, n)
+            while inflight:
                 packed, bad, n = inflight.popleft()
                 yield self._finish(packed, bad, n)
-        while inflight:
-            packed, bad, n = inflight.popleft()
-            yield self._finish(packed, bad, n)
-        worker.join()
-        if decode_error:
-            raise decode_error[0]
+            worker.join()
+            if decode_error:
+                raise decode_error[0]
+        finally:
+            abandoned.set()
 
 
 class AlertStreamConsumer:

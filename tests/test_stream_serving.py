@@ -2,6 +2,7 @@
 the native decoder + device ingest + model, vs a manual pipeline."""
 
 import gzip
+import time
 
 import numpy as np
 import pytest
@@ -499,3 +500,25 @@ def test_alert_scorer_f32_matches_training_graph():
         logits.reshape(-1).astype(jnp.float32) / 1.7))
     np.testing.assert_allclose(cal(triplets=triplets, metadata=meta),
                                want_cal, rtol=1e-4, atol=1e-5)
+
+
+def test_abandoned_score_stream_releases_decode_worker():
+    """A caller that stops iterating score_stream mid-way must not strand
+    the background decode thread on the bounded queue."""
+    import threading
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+    packets = _mk_packets(16, seed=30)
+    chunks = [packets[i:i + 4] for i in range(0, 16, 4)]
+
+    before = threading.active_count()
+    gen = scorer.score_stream(iter(chunks), max_in_flight=1)
+    next(gen)          # consume one result, then abandon
+    gen.close()        # GeneratorExit → abandoned flag set
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
