@@ -102,15 +102,42 @@ def _mbconv(sd, prefix, in_chs, out_chs, stride):
     return params, stats
 
 
-def _attention(sd, prefix, our_suffix):
+def resize_rel_pos_table(table: np.ndarray, target_window: int) -> np.ndarray:
+    """Bilinear-resample a ((2w−1)², heads) relative-position bias table to
+    a different window size (align-corners, so the bias at the extreme
+    relative offsets is preserved).  This is the standard adaptation timm
+    applies when loading a checkpoint at a non-native resolution — it makes
+    e.g. ``maxvit_tiny_rw_160`` loadable from 224-trained checkpoints
+    (every other parameter is resolution-independent; quality should be
+    re-validated or fine-tuned at the new resolution)."""
+    n, heads = table.shape
+    src = int(round(np.sqrt(n)))
+    dst = 2 * target_window - 1
+    if src == dst:
+        return table
+    grid = table.reshape(src, src, heads).astype(np.float64)
+    # align-corners sample positions
+    pos = np.linspace(0.0, src - 1.0, dst) if dst > 1 else np.zeros(1)
+    i0 = np.clip(np.floor(pos).astype(int), 0, src - 1)
+    i1 = np.clip(i0 + 1, 0, src - 1)
+    f = (pos - i0)[:, None]
+    rows = grid[i0] * (1 - f[..., None]) + grid[i1] * f[..., None]
+    cols = rows[:, i0] * (1 - f[None, :, :, None]) \
+        + rows[:, i1] * f[None, :, :, None]
+    return cols.reshape(dst * dst, heads).astype(table.dtype)
+
+
+def _attention(sd, prefix, our_suffix, target_window=None):
+    table = _np(
+        sd[f"{prefix}.attn.rel_pos.relative_position_bias_table"]).copy()
+    if target_window is not None:
+        table = resize_rel_pos_table(table, target_window)
     return {
         f"norm1_{our_suffix}": t_norm_affine(sd, f"{prefix}.norm1"),
         f"attn_{our_suffix}": {
             "qkv": t_linear(sd, f"{prefix}.attn.qkv"),
             "proj": t_linear(sd, f"{prefix}.attn.proj"),
-            "rel_pos_table": _np(
-                sd[f"{prefix}.attn.rel_pos.relative_position_bias_table"]
-            ).copy(),
+            "rel_pos_table": table,
         },
         f"norm2_{our_suffix}": t_norm_affine(sd, f"{prefix}.norm2"),
         f"mlp_{our_suffix}": {
@@ -121,8 +148,17 @@ def _attention(sd, prefix, our_suffix):
 
 
 def maxvit_backbone_to_flax(sd: Mapping, prefix: str, model_kind: str):
-    """(params, batch_stats) for a MaxViTBackbone from timm-named keys."""
+    """(params, batch_stats) for a MaxViTBackbone from timm-named keys.
+
+    When model_kind names a non-native resolution (e.g.
+    ``maxvit_tiny_rw_160`` loaded from a 224 checkpoint), the
+    relative-position bias tables are bilinearly resampled to the target
+    window (``resize_rel_pos_table``); everything else is
+    resolution-independent."""
+    from ..models.maxvit import get_model_image_size
+
     spec = maxvit_spec(model_kind)
+    target_window = max(1, get_model_image_size(model_kind) // 32)
     p = f"{prefix}." if prefix else ""
     params: dict[str, Any] = {
         "stem_conv1": t_conv(sd, f"{p}stem.conv1"),
@@ -143,8 +179,10 @@ def maxvit_backbone_to_flax(sd: Mapping, prefix: str, model_kind: str):
                                           stride)
             block_params["mbconv"] = mb_params
             block_stats["mbconv"] = mb_stats
-            block_params.update(_attention(sd, f"{bp}.attn_block", "block"))
-            block_params.update(_attention(sd, f"{bp}.attn_grid", "grid"))
+            block_params.update(_attention(sd, f"{bp}.attn_block", "block",
+                                           target_window))
+            block_params.update(_attention(sd, f"{bp}.attn_grid", "grid",
+                                           target_window))
             params[f"stage{s}_block{b}"] = block_params
             stats[f"stage{s}_block{b}"] = block_stats
             in_chs = dim

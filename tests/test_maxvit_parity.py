@@ -117,3 +117,56 @@ def test_mm_maxvit_parity_and_roundtrip():
     assert set(sd2) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(sd2[k], sd[k], err_msg=k)
+
+
+def test_rel_pos_table_resize_function():
+    """resize_rel_pos_table: identity at same window, constants preserved,
+    align-corners keeps the extreme-offset biases."""
+    from btsbot_tpu.interop.maxvit_convert import resize_rel_pos_table
+
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=((2 * 7 - 1) ** 2, 4)).astype(np.float32)
+
+    np.testing.assert_array_equal(resize_rel_pos_table(table, 7), table)
+
+    const = np.full(((2 * 7 - 1) ** 2, 3), 1.25, np.float32)
+    out = resize_rel_pos_table(const, 5)
+    assert out.shape == ((2 * 5 - 1) ** 2, 3)
+    np.testing.assert_allclose(out, 1.25, rtol=1e-6)
+
+    # corners of the (13,13) grid map to corners of the (9,9) grid
+    src = table.reshape(13, 13, 4)
+    dst = resize_rel_pos_table(table, 5).reshape(9, 9, 4)
+    np.testing.assert_allclose(dst[0, 0], src[0, 0], rtol=1e-5)
+    np.testing.assert_allclose(dst[-1, -1], src[-1, -1], rtol=1e-5)
+    np.testing.assert_allclose(dst[0, -1], src[0, -1], rtol=1e-5)
+
+
+def test_maxvit_resolution_retarget_via_relpos_interpolation():
+    """A checkpoint trained at one resolution loads into a DIFFERENT
+    resolution kind: rel-pos tables are bilinearly resampled to the new
+    window (the timm adaptation); all other params are resolution
+    independent.  64-native oracle weights → 96-native flax model."""
+    from btsbot_tpu.models import maxvit as maxvit_mod
+
+    config64 = normalize_config({**CFG, "model_name": "mm_MaxViT"})
+    torch.manual_seed(31)
+    oracle = TorchMmMaxViT(dict(config64), image_size=64,
+                           **_mirror_kwargs()).eval()
+    randomize_bn_stats(oracle, seed=7)
+    sd = _state_dict(oracle)
+
+    config96 = normalize_config({**CFG, "model_name": "mm_MaxViT",
+                                 "model_kind": "maxvit_tiny_rw_96.test"})
+    variables = torch_state_dict_to_variables(config96, sd)
+    # window 96//32 = 3 → (2*3-1)² = 25-entry tables
+    b = variables["params"]["backbone"]["stage0_block0"]
+    assert b["attn_block"]["rel_pos_table"].shape[0] == 25
+    assert b["attn_grid"]["rel_pos_table"].shape[0] == 25
+
+    model = build_model(config96)
+    img, meta = _rand_inputs(seed=9)
+    scores = np.asarray(model.apply(
+        variables, image_input=jnp.asarray(img),
+        metadata_input=jnp.asarray(meta), train=False))
+    assert scores.shape == (2, 1) and np.all(np.isfinite(scores))
