@@ -127,6 +127,34 @@ def resize_rel_pos_table(table: np.ndarray, target_window: int) -> np.ndarray:
     return cols.reshape(dst * dst, heads).astype(table.dtype)
 
 
+def retarget_maxvit_variables(variables: Mapping,
+                              target_model_kind: str) -> dict:
+    """Retarget trained flax MaxViT variables to a different native
+    resolution: every ``rel_pos_table`` leaf is bilinearly resampled to the
+    target window (``resize_rel_pos_table``); all other parameters and
+    batch stats are resolution-independent and pass through unchanged.
+
+    This is the flax-run-dir counterpart of the timm-checkpoint path in
+    ``maxvit_backbone_to_flax`` — e.g. a ``maxvit_tiny_rw_224``-trained
+    run retargeted to ``maxvit_tiny_rw_160`` serves ~1.58× faster
+    (docs/perf_sweep.json maxvit_resolution_study_r3).  Use with a model
+    built from a config whose ``model_kind`` names the target resolution;
+    quality should be re-validated at the new resolution
+    (scripts/maxvit_retarget_study.py measures the trade on-chip)."""
+    from ..models.maxvit import get_model_image_size
+
+    target_window = max(1, get_model_image_size(target_model_kind) // 32)
+
+    def walk(node):
+        if isinstance(node, Mapping):
+            return {k: (resize_rel_pos_table(np.asarray(v), target_window)
+                        if k == "rel_pos_table" else walk(v))
+                    for k, v in node.items()}
+        return node
+
+    return walk(variables)
+
+
 def _attention(sd, prefix, our_suffix, target_window=None):
     table = _np(
         sd[f"{prefix}.attn.rel_pos.relative_position_bias_table"]).copy()

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from btsbot_tpu import build_model, normalize_config, torch_state_dict_to_variables
@@ -170,3 +171,41 @@ def test_maxvit_resolution_retarget_via_relpos_interpolation():
         variables, image_input=jnp.asarray(img),
         metadata_input=jnp.asarray(meta), train=False))
     assert scores.shape == (2, 1) and np.all(np.isfinite(scores))
+
+
+def test_retarget_maxvit_variables_matches_checkpoint_path():
+    """The flax-run-dir retarget (retarget_maxvit_variables) must land on
+    exactly the variables the timm-checkpoint path produces when the same
+    state dict is converted directly at the target resolution — and be an
+    identity at the native resolution."""
+    from btsbot_tpu.interop.maxvit_convert import retarget_maxvit_variables
+
+    config64 = normalize_config({**CFG, "model_name": "mm_MaxViT"})
+    torch.manual_seed(33)
+    oracle = TorchMmMaxViT(dict(config64), image_size=64,
+                           **_mirror_kwargs()).eval()
+    randomize_bn_stats(oracle, seed=11)
+    sd = _state_dict(oracle)
+
+    vars64 = torch_state_dict_to_variables(config64, sd)
+    config96 = normalize_config({**CFG, "model_name": "mm_MaxViT",
+                                 "model_kind": "maxvit_tiny_rw_96.test"})
+    direct96 = torch_state_dict_to_variables(config96, sd)
+    retargeted = retarget_maxvit_variables(vars64, "maxvit_tiny_rw_96.test")
+
+    flat_a = jax.tree_util.tree_leaves_with_path(direct96)
+    flat_b = jax.tree_util.tree_leaves_with_path(retargeted)
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(va),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+    # identity at the native resolution (tables pass through untouched)
+    same = retarget_maxvit_variables(vars64, "maxvit_tiny_rw_64.test")
+    t0 = vars64["params"]["backbone"]["stage0_block0"]["attn_block"][
+        "rel_pos_table"]
+    t1 = same["params"]["backbone"]["stage0_block0"]["attn_block"][
+        "rel_pos_table"]
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
