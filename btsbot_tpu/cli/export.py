@@ -50,6 +50,12 @@ def main(argv=None):
                    choices=["onnx", "saved_model", "torch"])
     p.add_argument("--no-verify", action="store_true",
                    help="Skip the cross-runtime verification pass")
+    p.add_argument("--retarget-resolution", type=int, default=None,
+                   metavar="RES",
+                   help="MaxViT only: export the artifact at this native "
+                        "resolution instead of the trained one (rel-pos "
+                        "bias tables resampled; re-validate quality first "
+                        "— scripts/maxvit_retarget_study.py)")
     args = p.parse_args(argv)
 
     from ..core.config import normalize_config
@@ -63,6 +69,15 @@ def main(argv=None):
         os.path.join(args.model_dir, "best"),
         template={"params": template["params"],
                   "batch_stats": template.get("batch_stats", {})})
+
+    if args.retarget_resolution is not None:
+        from ..interop.maxvit_convert import (retarget_maxvit_variables,
+                                              retarget_model_kind)
+        kind = retarget_model_kind(config.get("model_kind", ""),
+                                   args.retarget_resolution)
+        variables = retarget_maxvit_variables(variables, kind)
+        config = normalize_config({**config, "model_kind": kind})
+        print(f"retargeted to {kind}")
 
     triplets, metadata = _verification_inputs(config)
     report = None

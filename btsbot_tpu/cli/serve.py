@@ -66,6 +66,14 @@ def main(argv=None):
                         "calibrated probabilities. 'auto' reads "
                         "calibration.temperature from the model dir's "
                         "perf.json (falls back to 1.0 with a notice)")
+    p.add_argument("--retarget-resolution", type=int, default=None,
+                   metavar="RES",
+                   help="MaxViT only: serve the trained model at this "
+                        "native resolution instead of the one it was "
+                        "trained at (rel-pos bias tables resampled; e.g. "
+                        "224->160 serves ~1.58x faster). Re-validate "
+                        "quality at the new resolution first "
+                        "(scripts/maxvit_retarget_study.py)")
     p.add_argument("--compile-cache", default=None, metavar="DIR")
     p.add_argument("--stats-interval", type=float, default=0.0,
                    metavar="SECONDS",
@@ -87,6 +95,15 @@ def main(argv=None):
     from ..engine.serve import AlertStreamConsumer, AlertStreamScorer
 
     model, variables, config = load_teacher(args.model_dir)
+    if args.retarget_resolution is not None:
+        from ..core.config import normalize_config
+        from ..interop.maxvit_convert import (retarget_maxvit_variables,
+                                              retarget_model_kind)
+        kind = retarget_model_kind(config.get("model_kind", ""),
+                                   args.retarget_resolution)
+        variables = retarget_maxvit_variables(variables, kind)
+        config = normalize_config({**config, "model_kind": kind})
+        print(f"retargeted to {kind}", file=sys.stderr)
     if args.temperature == "auto":
         import os
         temperature = 1.0

@@ -17,6 +17,7 @@ patched without touching the structural mapping.
 
 from __future__ import annotations
 
+import re
 from typing import Any, Mapping
 
 import numpy as np
@@ -153,6 +154,23 @@ def retarget_maxvit_variables(variables: Mapping,
         return node
 
     return walk(variables)
+
+
+def retarget_model_kind(model_kind: str, resolution: int) -> str:
+    """Rewrite the native resolution embedded in a timm-style MaxViT model
+    string: ``maxvit_tiny_rw_224.sw_in1k`` → ``maxvit_tiny_rw_160.sw_in1k``.
+    Raises for non-MaxViT kinds (other families have no resolution axis) and
+    for kinds that do not encode a resolution (nothing to rewrite)."""
+    if "maxvit" not in model_kind.lower():
+        raise ValueError(
+            f"--retarget-resolution only applies to MaxViT model kinds, "
+            f"got {model_kind!r}")
+    new, n = re.subn(r"_(\d+)(\.)", f"_{resolution}\\2", model_kind, count=1)
+    if n == 0:
+        raise ValueError(
+            f"model kind {model_kind!r} does not encode a native resolution "
+            "(expected a timm-style '_<res>.' segment)")
+    return new
 
 
 def _attention(sd, prefix, our_suffix, target_window=None):

@@ -209,3 +209,84 @@ def test_retarget_maxvit_variables_matches_checkpoint_path():
     t1 = same["params"]["backbone"]["stage0_block0"]["attn_block"][
         "rel_pos_table"]
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+
+
+def test_retarget_model_kind():
+    from btsbot_tpu.interop.maxvit_convert import retarget_model_kind
+
+    assert retarget_model_kind("maxvit_tiny_rw_224.sw_in1k", 160) == \
+        "maxvit_tiny_rw_160.sw_in1k"
+    assert retarget_model_kind("maxvit_tiny_rw_64.test", 96) == \
+        "maxvit_tiny_rw_96.test"
+    with pytest.raises(ValueError):
+        retarget_model_kind("convnext_pico.d1_in1k", 160)
+    with pytest.raises(ValueError):
+        retarget_model_kind("maxvit_tiny", 160)  # no resolution encoded
+
+
+def test_serve_and_export_cli_retarget(tmp_path):
+    """--retarget-resolution on the deployment CLIs: the serve daemon scores
+    at the retargeted resolution exactly like a directly-retargeted scorer,
+    and cli.export emits a verified ONNX artifact at the new resolution."""
+    import base64
+    import gzip
+    import json as json_mod
+
+    from btsbot_tpu import init_model
+    from btsbot_tpu.cli.export import main as export_main
+    from btsbot_tpu.cli.serve import main as serve_main
+    from btsbot_tpu.data.fits import write_fits_image
+    from btsbot_tpu.engine.checkpoint import save_model_variables
+    from btsbot_tpu.engine.serve import AlertStreamScorer
+    from btsbot_tpu.interop.maxvit_convert import (
+        retarget_maxvit_variables, retarget_model_kind)
+    from btsbot_tpu.metrics.report import make_report
+
+    config = normalize_config({**CFG, "model_name": "mm_MaxViT"})
+    _, variables = init_model(config, rng=0)
+    model_dir = str(tmp_path / "mdir")
+    save_model_variables(f"{model_dir}/best", variables["params"],
+                         variables.get("batch_stats", {}))
+    make_report(config, f"{model_dir}/report.json",
+                {"run_name": "t", "train_loss": [1.0], "val_loss": [1.0],
+                 "train_accuracy": [0.5], "val_accuracy": [0.5]}, {})
+
+    rng = np.random.default_rng(7)
+    packets = []
+    src = tmp_path / "packets.jsonl"
+    with src.open("w") as f:
+        for i in range(5):
+            p = {"candid": i,
+                 "candidate": {f"m{k}": float(rng.normal())
+                               for k in range(25)}}
+            wire = {"candid": i, "candidate": p["candidate"]}
+            for key in ("cutoutScience", "cutoutTemplate",
+                        "cutoutDifference"):
+                data = rng.normal(size=(63, 63)).astype(np.float32)
+                blob = gzip.compress(write_fits_image(data))
+                p[key] = {"stampData": blob}
+                wire[key] = {"stampData": base64.b64encode(blob).decode()}
+            packets.append(p)
+            f.write(json_mod.dumps(wire) + "\n")
+
+    out = tmp_path / "scores.jsonl"
+    serve_main([model_dir, "--jsonl", str(src), "--batch", "4",
+                "--out", str(out), "--retarget-resolution", "96"])
+    rows = [json_mod.loads(line) for line in out.read_text().splitlines()]
+    assert [r["candid"] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(not r["dropped"] for r in rows)
+
+    kind96 = retarget_model_kind(config["model_kind"], 96)
+    cfg96 = normalize_config({**config, "model_kind": kind96})
+    vars96 = retarget_maxvit_variables(variables, kind96)
+    direct = AlertStreamScorer(cfg96, vars96, batch_size=4)
+    want, drop = direct(packets)
+    assert not drop.any()
+    np.testing.assert_allclose([r["score"] for r in rows], want,
+                               rtol=1e-4, atol=1e-5)
+
+    onnx_out = export_main([model_dir, "--retarget-resolution", "96",
+                            "--output", str(tmp_path / "model96.onnx")])
+    ver = json_mod.loads(
+        (tmp_path / "model96.verification.json").read_text())
+    assert ver["close"] and onnx_out.endswith("model96.onnx")
