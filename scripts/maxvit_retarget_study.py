@@ -72,7 +72,7 @@ def eval_at(config, variables, datasets, ref_scores=None):
         t0 = time.time()
         _, scores = predict_dataset(model, config, variables["params"],
                                     variables.get("batch_stats", {}), ds)
-        tn, fp, fn, tp = confusion_counts(ds.labels, scores > 0.5)
+        tp, fp, tn, fn = confusion_counts(ds.labels, scores > 0.5)
         bal_acc = 0.5 * (tp / max(tp + fn, 1) + tn / max(tn + fp, 1))
         out[split] = {
             "roc_auc": round(roc_auc(ds.labels, scores), 4),
@@ -99,6 +99,9 @@ def main():
                    help="source training resolution (CPU smoke runs train "
                         "smaller)")
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--reuse-run", default=None, metavar="DIR",
+                   help="skip training: load the trained 224 variables from "
+                        "this run dir's best/ checkpoint")
     args = p.parse_args()
 
     import jax
@@ -126,25 +129,38 @@ def main():
                                 "batch_size": args.batch_size,
                                 "epochs": args.epochs,
                                 "patience": args.patience})
-    t0 = time.time()
-    result = run_training(cfg_src, run_name=f"maxvit{src_res}_retarget_src",
-                          out_root=args.out, train_ds=train_ds,
-                          val_ds=val_ds, test_ds=test_ds, make_figure=False,
-                          log=lambda m: print(m, flush=True))
-    train_wall = time.time() - t0
-    state = result["state"]
-    vars_src = {"params": jax.device_get(state.params),
-                "batch_stats": jax.device_get(state.batch_stats)}
-
     summary = {"benchmark": "hard", "device": str(jax.devices()[0]),
-               "train_alerts": len(train_ds), "train_res": src_res,
-               "epochs_ran": len(result["history"]["val_loss"]),
-               "train_wall_s": round(train_wall, 1)}
+               "train_alerts": len(train_ds), "train_res": src_res}
+    if args.reuse_run:
+        import os as _os
+
+        from btsbot_tpu import init_model
+        from btsbot_tpu.engine.checkpoint import load_model_variables
+        _, template = init_model(cfg_src, rng=0)
+        vars_src = load_model_variables(
+            _os.path.join(args.reuse_run, "best"),
+            template={"params": template["params"],
+                      "batch_stats": template.get("batch_stats", {})})
+        summary["reused_run"] = args.reuse_run
+    else:
+        t0 = time.time()
+        result = run_training(
+            cfg_src, run_name=f"maxvit{src_res}_retarget_src",
+            out_root=args.out, train_ds=train_ds,
+            val_ds=val_ds, test_ds=test_ds, make_figure=False,
+            log=lambda m: print(m, flush=True))
+        state = result["state"]
+        vars_src = {"params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats)}
+        summary["epochs_ran"] = len(result["history"]["val_loss"])
+        summary["train_wall_s"] = round(time.time() - t0, 1)
 
     base = eval_at(cfg_src, vars_src, datasets)
     ref_scores = {s: d.pop("scores") for s, d in base.items()}
     summary[f"native_{src_res}"] = base
     print(f"{src_res} native: {json.dumps(base)}", flush=True)
+    all_scores = {f"native_{src_res}_{s}": v for s, v in ref_scores.items()}
+    all_scores.update({f"labels_{s}": d.labels for s, d in datasets.items()})
 
     targets = [int(r) for r in args.targets.split(",") if r]
     for res in targets:
@@ -154,8 +170,8 @@ def main():
                                 "patience": args.patience})
         vars_r = retarget_maxvit_variables(vars_src, kind_at(res))
         block = eval_at(cfg, vars_r, datasets, ref_scores)
-        for d in block.values():
-            d.pop("scores")
+        for s, d in block.items():
+            all_scores[f"retarget_{res}_{s}"] = d.pop("scores")
         summary[f"retarget_{res}_zero_shot"] = block
         print(f"retarget {res} zero-shot: {json.dumps(block)}", flush=True)
 
@@ -176,12 +192,14 @@ def main():
         vars_ft = {"params": jax.device_get(ft["state"].params),
                    "batch_stats": jax.device_get(ft["state"].batch_stats)}
         block = eval_at(cfg, vars_ft, datasets, ref_scores)
-        for d in block.values():
-            d.pop("scores")
+        for s, d in block.items():
+            all_scores[f"finetuned_{res}_{s}"] = d.pop("scores")
         block["finetune_wall_s"] = round(time.time() - t0, 1)
         summary[f"retarget_{res}_finetuned"] = block
         print(f"retarget {res} finetuned: {json.dumps(block)}", flush=True)
 
+    np.savez_compressed(os.path.join(args.out, "maxvit_retarget_scores.npz"),
+                        **{k: np.asarray(v) for k, v in all_scores.items()})
     out_path = os.path.join(args.out, "maxvit_retarget.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=1)
