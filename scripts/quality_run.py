@@ -162,6 +162,27 @@ CONFIGS = {
         "comb_fc1_neurons": 64, "comb_fc2_neurons": 32,
         "comb_dropout": 0.2,
     },
+    # single-modal references (architectures.py:232-293): quantify what the
+    # image/metadata modality alone achieves, and feed the fusion flow below
+    "um_cnn": {
+        "model_name": "um_cnn",
+        "conv1_channels": 32, "conv2_channels": 64, "conv_kernel": 5,
+        "conv_dropout1": 0.5, "conv_dropout2": 0.55,
+        "fc1_neurons": 256, "fc2_neurons": 32, "dropout": 0.4,
+    },
+    "um_nn": {
+        "model_name": "um_nn",
+        "meta_fc1_neurons": 128, "meta_fc2_neurons": 128,
+        "meta_dropout": 0.3,
+    },
+    # the reference's two-stage workflow (architectures.py:296-372): fuse the
+    # trained um_cnn + um_nn runs, train only the combined head.  Requires
+    # um_cnn and um_nn model dirs — run them first (same --out) or in the
+    # same --models list ahead of frozen_fusion.
+    "frozen_fusion": {
+        "model_name": "frozen_fusion",
+        "comb_fc1_neurons": 64, "comb_fc2_neurons": 32, "comb_dropout": 0.2,
+    },
 }
 
 
@@ -200,10 +221,29 @@ def main():
     print(f"dataset: {len(train_ds)} train / {len(val_ds)} val / "
           f"{len(test_ds)} test alerts ({time.time() - t0:.0f}s)", flush=True)
 
+    summary_path = os.path.join(args.out, "summary.json")
+    prior_models = {}
+    if os.path.isfile(summary_path):
+        with open(summary_path) as f:
+            prior_models = json.load(f).get("models", {})
+
     summary = {}
     for name in args.models.split(","):
+        extra = {}
+        if name == "frozen_fusion":
+            for dep in ("um_cnn", "um_nn"):
+                dep_dir = (summary.get(dep) or prior_models.get(dep)
+                           or {}).get("model_dir")
+                if not dep_dir or not os.path.isfile(
+                        os.path.join(dep_dir, "report.json")):
+                    raise SystemExit(
+                        f"frozen_fusion needs a trained {dep} run in "
+                        f"{args.out} — run --models um_cnn,um_nn first "
+                        "(or in the same --models list)")
+                extra["image_model_dir" if dep == "um_cnn"
+                      else "meta_model_dir"] = dep_dir
         cfg = normalize_config({
-            **CONFIGS[name],
+            **CONFIGS[name], **extra,
             "train_data_version": "vq", "metadata_cols": META_COLS,
             "learning_rate": 5e-4, "beta_1": 0.9, "beta_2": 0.999,
             "batch_size": 1024, "epochs": args.epochs,
@@ -235,7 +275,6 @@ def main():
 
     # merge into any existing summary so per-model reruns don't clobber
     # previously recorded models
-    summary_path = os.path.join(args.out, "summary.json")
     merged = {"device": str(jax.devices()[0]), "models": {}}
     if os.path.isfile(summary_path):
         with open(summary_path) as f:
