@@ -203,8 +203,12 @@ def _union_branch(schemas, value) -> int:
                 continue
             if isinstance(value, int) and s in ("int", "long"):
                 return i
-            if isinstance(value, float) and s in ("float", "double", "int",
-                                                  "long"):
+            if isinstance(value, (int, float)) and s in ("float", "double"):
+                # a Python int fits a float/double branch too (spec-legal
+                # promotion) — ZTF candidate unions are [null, double] but
+                # JSON-decoded counts arrive as ints
+                return i
+            if isinstance(value, float) and s in ("int", "long"):
                 return i
             if isinstance(value, str) and (s == "string"
                                            or (isinstance(s, list)
@@ -282,9 +286,8 @@ def _encode(buf: io.BytesIO, schema, value) -> None:
 
 # ----------------------------- container file -----------------------------
 
-def read_ocf(data: bytes) -> tuple[dict, list]:
-    """Decode an Avro OCF: returns (schema_json_dict, records)."""
-    buf = io.BytesIO(data)
+def _read_ocf_header(buf) -> tuple[dict, list, str, bytes]:
+    """Parse magic + metadata map + sync: (schema_json, schema, codec, sync)."""
     if _read_exact(buf, 4) != OCF_MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta_schema = parse_schema({"type": "map", "values": "bytes"})
@@ -295,25 +298,46 @@ def read_ocf(data: bytes) -> tuple[dict, list]:
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
-    schema = parse_schema(schema_json)
     sync = _read_exact(buf, 16)
+    return schema_json, parse_schema(schema_json), codec, sync
 
-    records = []
+
+def _iter_ocf_records(buf, schema, codec: str, sync: bytes) -> Iterator[dict]:
+    """Yield records one data block at a time (peak memory = one block).
+    EOF is probed with a single-byte read so non-seekable sources (e.g.
+    ``tarfile.extractfile`` streams) work."""
     while True:
         head = buf.read(1)
         if not head:
-            break  # clean EOF between blocks
-        buf.seek(-1, io.SEEK_CUR)
-        count = _read_long(buf)
+            return  # clean EOF between blocks
+        # finish the count varint whose first byte is `head`
+        shift, acc = 0, 0
+        b = head[0]
+        while True:
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise ValueError("Avro varint too long")
+            b = _read_exact(buf, 1)[0]
+        count = _zigzag_decode(acc)
         size = _read_long(buf)
         block = _read_exact(buf, size)
         if codec == "deflate":
             block = zlib.decompress(block, -15)
         bbuf = io.BytesIO(block)
-        records.extend(_decode(bbuf, schema) for _ in range(count))
+        for _ in range(count):
+            yield _decode(bbuf, schema)
         if _read_exact(buf, 16) != sync:
             raise ValueError("Avro block sync marker mismatch")
-    return schema_json, records
+
+
+def read_ocf(data: bytes) -> tuple[dict, list]:
+    """Decode an Avro OCF: returns (schema_json_dict, records)."""
+    buf = io.BytesIO(data)
+    schema_json, schema, codec, sync = _read_ocf_header(buf)
+    return schema_json, list(_iter_ocf_records(buf, schema, codec, sync))
 
 
 def write_ocf(schema: str | dict, records: list, codec: str = "null",
@@ -356,10 +380,11 @@ def write_ocf(schema: str | dict, records: list, codec: str = "null",
 
 def iter_ocf_stream(fileobj) -> Iterator[dict]:
     """Stream records from a file-like OCF source (archival tarballs of
-    nightly alerts) without loading the whole file."""
-    data = fileobj.read()
-    _, records = read_ocf(data)
-    yield from records
+    nightly alerts) incrementally: only the header and one data block are
+    ever resident, so multi-GB nightly files don't load into memory.  Works
+    on non-seekable sources (``tarfile.extractfile`` streams)."""
+    _, schema, codec, sync = _read_ocf_header(fileobj)
+    yield from _iter_ocf_records(fileobj, schema, codec, sync)
 
 
 # --------------------------- ZTF alert schema -----------------------------

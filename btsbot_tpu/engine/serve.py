@@ -53,20 +53,23 @@ def _pick_bucket(ladder: list[int], n: int) -> int:
 
 def _gather_metadata(packets: list[dict], cols) -> np.ndarray:
     """Per-alert metadata gather that survives malformed broker messages:
-    a missing/null ``candidate`` dict or a non-numeric field value yields
-    0.0 for that cell (mirroring the per-alert cutout handling) instead of
-    raising out of the daemon loop."""
+    a missing/null ``candidate`` dict, a non-numeric field value, or a
+    non-finite float (Avro doubles and Python's json both admit NaN/Inf,
+    which would otherwise flow into the graph and surface as un-dropped
+    NaN scores) yields 0.0 for that cell — mirroring the per-alert cutout
+    handling — instead of raising out of the daemon loop."""
     rows = np.zeros((len(packets), len(cols)), np.float32)
     for i, p in enumerate(packets):
         cand = p.get("candidate")
         if not isinstance(cand, dict):
             continue
         for j, c in enumerate(cols):
-            v = cand.get(c, 0.0)
             try:
-                rows[i, j] = float(v)
+                v = float(cand.get(c, 0.0))
             except (TypeError, ValueError):
-                pass  # non-numeric value -> 0.0, same as missing
+                continue  # non-numeric value -> 0.0, same as missing
+            if np.isfinite(v):
+                rows[i, j] = v
     return rows
 
 
@@ -597,6 +600,14 @@ class AlertStreamConsumer:
         waiting for more input.  Backpressure: at most one decoded +
         ``max_in_flight`` prepared/pending batches are held; a bounded
         queue source blocks the broker when scoring falls behind.
+
+        Deliberately NOT implemented on top of ``score_stream``: that
+        generator holds results until the in-flight window fills (right
+        for fixed throughput runs), while this loop must drain the moment
+        the source goes idle or trickle traffic would pay a full
+        max_in_flight·max_wait_s latency penalty — the p50/p99 SLO in
+        stats depends on the idle-drain.  Any fix to one pipeline's
+        shutdown/backpressure logic should be checked against the other.
         """
         import queue as _queue
         import threading
@@ -624,7 +635,8 @@ class AlertStreamConsumer:
             finally:
                 ready_q.put(None)
 
-        worker = threading.Thread(target=decode_worker, daemon=True)
+        worker = threading.Thread(target=decode_worker, daemon=True,
+                                  name="alert-consumer-decode")
         worker.start()
 
         def finish_oldest():
@@ -676,44 +688,62 @@ class AlertStreamConsumer:
                 block = False  # blocking drain only waits for the first item
 
         decoding = True
-        while True:
-            collected = self._collect_batch()
-            if collected is None:
-                break
-            batch, ts = collected
-            if batch:
-                self.stats["alerts_in"] += len(batch)
-                while decoding:
-                    # never block on the decoder with results undrained —
-                    # alternating put/drain avoids the full-queues deadlock
-                    decoding = drain_ready(block=False)
-                    try:
-                        raw_q.put((batch, ts), timeout=0.05)
-                        break
-                    except _queue.Full:
-                        continue
-            else:
-                decoding = drain_ready(block=False) and decoding
-                if inflight:
-                    finish_oldest()
-            if not decoding:
-                break  # decoder died mid-stream — surface the error below
+        try:
+            while True:
+                collected = self._collect_batch()
+                if collected is None:
+                    break
+                batch, ts = collected
+                if batch:
+                    self.stats["alerts_in"] += len(batch)
+                    while decoding:
+                        # never block on the decoder with results undrained —
+                        # alternating put/drain avoids the full-queues
+                        # deadlock
+                        decoding = drain_ready(block=False)
+                        try:
+                            raw_q.put((batch, ts), timeout=0.05)
+                            break
+                        except _queue.Full:
+                            continue
+                else:
+                    decoding = drain_ready(block=False) and decoding
+                    if inflight:
+                        finish_oldest()
+                if not decoding:
+                    break  # decoder died mid-stream — error surfaced below
 
-        # deliver the decoder's shutdown sentinel; the decoder may still be
-        # busy with the final batch (raw_q full), so keep draining results
-        # while waiting — put_nowait here would strand the worker on
-        # raw_q.get() forever and spin the final drain
-        while decoding:
-            try:
-                raw_q.put(None, timeout=0.05)
-                break
-            except _queue.Full:
-                decoding = drain_ready(block=False) and decoding
-        while decoding:
-            decoding = drain_ready(block=True)
-        while inflight:
-            finish_oldest()
-        worker.join()
+            # deliver the decoder's shutdown sentinel; the decoder may still
+            # be busy with the final batch (raw_q full), so keep draining
+            # results while waiting — put_nowait here would strand the worker
+            # on raw_q.get() forever and spin the final drain
+            while decoding:
+                try:
+                    raw_q.put(None, timeout=0.05)
+                    break
+                except _queue.Full:
+                    decoding = drain_ready(block=False) and decoding
+            while decoding:
+                decoding = drain_ready(block=True)
+            while inflight:
+                finish_oldest()
+            worker.join()
+        finally:
+            # an exception above (sink/_dispatch raising) must not strand the
+            # decode worker on raw_q.get() or ready_q.put() forever: keep
+            # offering the shutdown sentinel while draining its output until
+            # it exits (same alternation as the normal path; harmlessly
+            # no-ops when the worker already joined)
+            while worker.is_alive():
+                try:
+                    raw_q.put_nowait(None)
+                except _queue.Full:
+                    pass
+                try:
+                    ready_q.get(timeout=0.05)
+                except _queue.Empty:
+                    pass
+            worker.join()
 
         self.stats["wall_s"] = time.perf_counter() - t0
         if self.stats["wall_s"] > 0:

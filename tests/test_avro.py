@@ -5,6 +5,7 @@ with hand-encoded fixtures (VERDICT r2 #3 — the production broker wire
 format, previously delegated to the absent fastavro)."""
 
 import gzip
+import io
 import json
 import threading
 
@@ -91,6 +92,46 @@ def test_varint_extremes():
     values = [0, -1, 1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)]
     _, got = read_ocf(write_ocf(schema, [{"v": v} for v in values]))
     assert [r["v"] for r in got] == values
+
+
+def test_int_values_fit_double_unions():
+    """ZTF candidate fields are [null, double] unions, but JSON-decoded
+    packets carry integer counts (ndethist etc.) — encoding must pick the
+    double branch for a Python int instead of raising."""
+    schema = {"type": "record", "name": "C", "fields": [
+        {"name": "x", "type": ["null", "double"]},
+        {"name": "y", "type": ["null", "float"]}]}
+    _, got = read_ocf(write_ocf(schema, [{"x": 5, "y": 2}, {"x": None,
+                                                           "y": 1.5}]))
+    assert got[0]["x"] == 5.0 and got[0]["y"] == 2.0
+    assert got[1]["x"] is None and got[1]["y"] == 1.5
+
+
+def test_iter_ocf_stream_nonseekable_incremental():
+    """iter_ocf_stream must work block-by-block on a non-seekable source
+    (tarfile.extractfile streams) — and yield before the file is fully
+    consumed."""
+    from btsbot_tpu.data.avro import iter_ocf_stream
+
+    recs = [{**RECORD, "i": i} for i in range(9)]
+    data = write_ocf(COMPLEX_SCHEMA, recs, block_records=2, codec="deflate")
+
+    class NonSeekable:
+        def __init__(self, payload):
+            self._buf = io.BytesIO(payload)
+            self.consumed = 0
+
+        def read(self, n=-1):
+            out = self._buf.read(n)
+            self.consumed += len(out)
+            return out
+
+    src = NonSeekable(data)
+    it = iter_ocf_stream(src)
+    first = next(it)
+    assert first["i"] == 0
+    assert src.consumed < len(data)  # later blocks not yet read
+    assert [r["i"] for r in it] == list(range(1, 9))
 
 
 def test_corrupt_container_fails_loudly():

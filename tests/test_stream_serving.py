@@ -405,13 +405,17 @@ def test_malformed_candidate_survives_metadata_gather():
     scorer = AlertStreamScorer(config, variables, batch_size=8,
                                dtype=jnp.float32)
     rng = np.random.default_rng(13)
-    packets = [_packet(rng) for _ in range(4)]
+    packets = [_packet(rng) for _ in range(5)]
     del packets[1]["candidate"]                 # missing candidate
     packets[2]["candidate"] = None              # null candidate
     packets[3]["candidate"]["m0"] = "not-a-number"  # non-numeric value
+    # non-finite floats (legal in Avro doubles and Python json) must not
+    # leak NaN/Inf into the graph as silently un-dropped NaN scores
+    packets[4]["candidate"]["m1"] = float("nan")
+    packets[4]["candidate"]["m2"] = float("inf")
 
     scores, drop = scorer(packets)
-    assert scores.shape == (4,)
+    assert scores.shape == (5,)
     assert not drop.any()          # cutouts are fine — nothing dropped
     assert np.all(np.isfinite(scores))
 
@@ -421,6 +425,9 @@ def test_malformed_candidate_survives_metadata_gather():
     zeroed[2]["candidate"] = {}
     zeroed[3] = dict(packets[3],
                      candidate={**packets[3]["candidate"], "m0": 0.0})
+    zeroed[4] = dict(packets[4],
+                     candidate={**packets[4]["candidate"],
+                                "m1": 0.0, "m2": 0.0})
     np.testing.assert_allclose(scores, scorer(zeroed)[0], rtol=1e-6)
 
 
@@ -446,6 +453,37 @@ def test_background_consumer_reraises_from_stop():
     consumer._thread.join(30.0)
     with pytest.raises(RuntimeError, match="background consumer failed"):
         consumer.stop()
+
+
+def test_failing_sink_does_not_strand_decode_worker():
+    """An exception escaping run() (here: the sink raising) must still shut
+    the background decode thread down — a supervisor that catches the error
+    and restarts the consumer in-process must not accumulate stuck
+    'alert-consumer-decode' threads blocked on the raw queue."""
+    import threading
+
+    from btsbot_tpu.engine.serve import AlertStreamConsumer
+
+    config = normalize_config(SMALL_CFG)
+    _, variables = init_model(config, rng=0)
+    scorer = AlertStreamScorer(config, variables, batch_size=4,
+                               dtype=jnp.float32)
+
+    def bad_sink(p, s, d):
+        raise BrokenPipeError("downstream gone")
+
+    consumer = AlertStreamConsumer(
+        scorer, iter(_mk_packets(12, seed=15)), sink=bad_sink,
+        max_batch=4, max_wait_s=0.02)
+    with pytest.raises(BrokenPipeError):
+        consumer.run()
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline and any(
+            t.name == "alert-consumer-decode" and t.is_alive()
+            for t in threading.enumerate()):
+        time.sleep(0.05)
+    assert not any(t.name == "alert-consumer-decode" and t.is_alive()
+                   for t in threading.enumerate())
 
 
 def test_consumer_latency_percentiles():
