@@ -40,7 +40,12 @@ def _bucket_ladder(batch_size: int, bucket_sizes, mesh) -> list[int]:
     ladder = sorted({b for b in ladder if 0 < b <= batch_size} | {batch_size})
     if mesh is not None:
         d = int(mesh.shape.get("data", 1))
-        ladder = [b for b in ladder if b % d == 0] or [batch_size]
+        if batch_size % d != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must be divisible by the mesh "
+                f"data axis ({d}) — a non-conforming batch would fail at "
+                "dispatch with an opaque sharding error")
+        ladder = [b for b in ladder if b % d == 0]
     return ladder
 
 
@@ -147,18 +152,19 @@ class AlertScorer:
             m = stop - start
             bs = _pick_bucket(self.bucket_sizes, m)
             img = meta = None
+            # one host->device transfer: device_put straight from numpy with
+            # the target sharding (jnp.asarray first would land on the
+            # default device and pay a second reshard hop under a mesh)
             if triplets is not None:
                 img = np.zeros((bs,) + triplets.shape[1:], np.float32)
                 img[:m] = triplets[start:stop]
-                img = jnp.asarray(img)
-                if self._data_shard is not None:
-                    img = jax.device_put(img, self._data_shard)
+                img = jax.device_put(img, self._data_shard) \
+                    if self._data_shard is not None else jnp.asarray(img)
             if metadata is not None:
                 meta = np.zeros((bs,) + metadata.shape[1:], np.float32)
                 meta[:m] = metadata[start:stop]
-                meta = jnp.asarray(meta)
-                if self._data_shard is not None:
-                    meta = jax.device_put(meta, self._data_shard)
+                meta = jax.device_put(meta, self._data_shard) \
+                    if self._data_shard is not None else jnp.asarray(meta)
             out[start:stop] = np.asarray(
                 self._score(self.variables, img, meta))[:m]
         return out
@@ -785,6 +791,15 @@ class AlertStreamConsumer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():
+                # returning stats now would claim a completed shutdown and
+                # silently lose any exception run() raises later (e.g. the
+                # loop is stuck in a minutes-long first-bucket XLA compile
+                # through the remote relay — raise so the caller knows)
+                raise TimeoutError(
+                    f"consumer did not drain within {timeout}s "
+                    f"(stats so far: {json.dumps(self.stats)}); call "
+                    "stop() again with a longer timeout")
         err = getattr(self, "_run_error", None)
         if err is not None:
             raise RuntimeError(

@@ -160,6 +160,15 @@ def run_training(
     best_dir = os.path.join(model_dir, "best")
     if resume and os.path.isdir(latest_dir):
         state, extra = restore_train_state(latest_dir, state)
+        if mesh is not None:
+            # restore_train_state hands back host-numpy leaves — re-apply
+            # the mesh placement or the jitted step silently runs with
+            # default (replicated) sharding, diverging from the fresh path
+            state = state.replace(
+                params=shard_variables(state.params, mesh),
+                batch_stats=shard_variables(state.batch_stats, mesh),
+                opt_state=shard_variables(state.opt_state, mesh),
+            )
         start_epoch = int(extra["epoch"]) + 1
         epochs_since_improvement = int(extra["epochs_since_improvement"])
         for name, arr in (("train_losses", train_losses),
@@ -224,7 +233,22 @@ def run_training(
             f"train loss {epoch_train_loss:.5f} acc {epoch_train_acc:.5f}  "
             f"val loss {val_loss:.5f} acc {val_acc:.5f}")
 
-        # save latest (full resume state)
+        # early stopping with the reference's 0.5% improvement margin
+        prev_best = float(np.min(val_losses[:epoch])) if epoch > 0 else np.inf
+        improved = 1.005 * val_loss < prev_best
+        if improved:
+            save_model_variables(best_dir, state.params, state.batch_stats)
+            best_raw_preds = np.copy(val_raw_preds)
+            best_val_labels = np.copy(val_labels)
+            epochs_since_improvement = 0
+            log(f"  val loss improved from {prev_best:.5f}; saved best model")
+        else:
+            epochs_since_improvement += 1
+            log(f"  no improvement for {epochs_since_improvement} epoch(s)")
+
+        # save latest (full resume state) AFTER the patience update, so a
+        # resume restores this epoch's improvement outcome rather than a
+        # one-epoch-stale counter
         save_train_state(latest_dir, state, {
             "epoch": epoch,
             "epochs_since_improvement": epochs_since_improvement,
@@ -234,20 +258,9 @@ def run_training(
             "val_accs": val_accs[:epoch + 1],
         })
 
-        # early stopping with the reference's 0.5% improvement margin
-        prev_best = float(np.min(val_losses[:epoch])) if epoch > 0 else np.inf
-        if 1.005 * val_loss < prev_best:
-            save_model_variables(best_dir, state.params, state.batch_stats)
-            best_raw_preds = np.copy(val_raw_preds)
-            best_val_labels = np.copy(val_labels)
-            epochs_since_improvement = 0
-            log(f"  val loss improved from {prev_best:.5f}; saved best model")
-        else:
-            epochs_since_improvement += 1
-            log(f"  no improvement for {epochs_since_improvement} epoch(s)")
-            if epochs_since_improvement >= patience:
-                log("  triggered early stopping")
-                break
+        if not improved and epochs_since_improvement >= patience:
+            log("  triggered early stopping")
+            break
 
         epoch_metrics = {
             "epoch": epoch,
@@ -265,6 +278,12 @@ def run_training(
             epoch_callback(epoch, epoch_metrics)
 
     if best_raw_preds is None:  # no epoch improved (resume edge): use last
+        if start_epoch >= epochs:
+            # resumed a run that had already finished every epoch — the
+            # loop body never ran, so evaluate once for the report
+            _, _, val_raw_preds, val_labels = evaluate(
+                model, config, state.params, state.batch_stats, val_ds,
+                pos_weight, batch_size, data_shard)
         best_raw_preds = val_raw_preds
         best_val_labels = val_labels
 

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.config import Config, normalize_config
 from ..models.convnext import convnext_spec
-from .convert import nchw_flatten_perm
+from .convert import _head_perm, nchw_flatten_perm
 
 
 def _np(x) -> np.ndarray:
@@ -55,15 +55,6 @@ def inv_bn(sd: dict, prefix: str, params: Mapping, stats: Mapping) -> None:
     sd[f"{prefix}.running_mean"] = _np(stats["mean"]).copy()
     sd[f"{prefix}.running_var"] = _np(stats["var"]).copy()
     sd[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
-
-
-def _head_perm(config: Config, total_in: int) -> np.ndarray:
-    c = config["conv2_channels"]
-    s = config.get("image_size", 63) // 8
-    perm = nchw_flatten_perm(c, s, s)
-    if total_in > perm.size:
-        perm = np.concatenate([perm, np.arange(perm.size, total_in)])
-    return perm
 
 
 def _export_cnn_backbone(sd: dict, params: Mapping) -> None:

@@ -38,7 +38,7 @@ import re
 from typing import Any, Mapping
 
 from ..models.convnext import convnext_spec
-from ..models.maxvit import maxvit_spec
+from ..models.maxvit import get_model_image_size, maxvit_spec
 
 MANIFEST_DIR = os.path.join(os.path.dirname(__file__), "manifests")
 
@@ -126,8 +126,10 @@ def _maxvit_manifest(model_kind: str, num_classes: int | None) -> dict:
             if stride == 2 or in_chs != dim:
                 man[f"{cp}.shortcut.conv.weight"] = (dim, in_chs, 1, 1)
                 man[f"{cp}.shortcut.conv.bias"] = (dim,)
-            # window + grid attention sublayers (partition size 7 for 224)
-            win = 7
+            # window + grid attention sublayers (partition size = native
+            # resolution / 32, e.g. 7 for 224-native, 5 for 160-native —
+            # same rule as maxvit_backbone_to_flax)
+            win = max(1, get_model_image_size(model_kind) // 32)
             heads = dim // 32
             for axis in ("attn_block", "attn_grid"):
                 ap = f"{bp}.{axis}"

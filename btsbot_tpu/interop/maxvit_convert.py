@@ -24,13 +24,7 @@ import numpy as np
 
 from ..core.config import Config
 from ..models.maxvit import maxvit_spec
-from .convert import t_bn_stats, t_conv, t_linear, t_norm_affine
-
-
-def _np(x):
-    if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
-    return np.asarray(x)
+from .convert import _np, t_bn_stats, t_conv, t_linear, t_norm_affine
 
 
 #: substring → substring key remaps applied before conversion, the patch
@@ -121,10 +115,10 @@ def resize_rel_pos_table(table: np.ndarray, target_window: int) -> np.ndarray:
     pos = np.linspace(0.0, src - 1.0, dst) if dst > 1 else np.zeros(1)
     i0 = np.clip(np.floor(pos).astype(int), 0, src - 1)
     i1 = np.clip(i0 + 1, 0, src - 1)
-    f = (pos - i0)[:, None]
-    rows = grid[i0] * (1 - f[..., None]) + grid[i1] * f[..., None]
-    cols = rows[:, i0] * (1 - f[None, :, :, None]) \
-        + rows[:, i1] * f[None, :, :, None]
+    f_row = (pos - i0)[:, None, None]                  # (dst, 1, 1)
+    rows = grid[i0] * (1 - f_row) + grid[i1] * f_row   # (dst, src, heads)
+    f_col = (pos - i0)[None, :, None]                  # (1, dst, 1)
+    cols = rows[:, i0] * (1 - f_col) + rows[:, i1] * f_col
     return cols.reshape(dst * dst, heads).astype(table.dtype)
 
 

@@ -73,14 +73,23 @@ def load_backbone_state_dict(path: str) -> dict[str, np.ndarray]:
 
 
 def normalize_backbone_keys(sd: Mapping[str, Any]) -> dict[str, Any]:
-    """Strip known wrapper prefixes until keys start at timm's ``stem.``."""
-    sd = strip_module_prefix(sd)
-    for prefix in KNOWN_WRAPPER_PREFIXES:
-        if sd and all(k.startswith(prefix) or _is_bookkeeping(k)
-                      for k in sd):
-            sd = {k[len(prefix):] if k.startswith(prefix) else k: v
-                  for k, v in sd.items()}
-    return dict(sd)
+    """Strip known wrapper prefixes until keys start at timm's ``stem.``.
+
+    Repeats until no prefix applies, so nested wrappers strip fully
+    regardless of nesting order vs KNOWN_WRAPPER_PREFIXES (e.g.
+    ``model.encoder.stem...`` needs ``model.`` then ``encoder.``)."""
+    sd = dict(strip_module_prefix(sd))
+    stripped = True
+    while stripped and sd:
+        stripped = False
+        for prefix in KNOWN_WRAPPER_PREFIXES:
+            if any(k.startswith(prefix) for k in sd) and \
+                    all(k.startswith(prefix) or _is_bookkeeping(k)
+                        for k in sd):
+                sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+                      for k, v in sd.items()}
+                stripped = True
+    return sd
 
 
 def _uses_head_norm(config: Config) -> bool:

@@ -142,6 +142,27 @@ def test_rel_pos_table_resize_function():
     np.testing.assert_allclose(dst[-1, -1], src[-1, -1], rtol=1e-5)
     np.testing.assert_allclose(dst[0, -1], src[0, -1], rtol=1e-5)
 
+    # every interior cell against a brute-force scalar bilinear oracle —
+    # corner/constant checks alone once masked a broadcast bug that applied
+    # the row fraction to the column lerp (caught in the r3 review pass)
+    for target in (5, 4, 9):
+        d = 2 * target - 1
+        got = resize_rel_pos_table(table, target).reshape(d, d, 4)
+        pos = np.linspace(0.0, 12.0, d)
+        i0 = np.clip(np.floor(pos).astype(int), 0, 12)
+        i1 = np.clip(i0 + 1, 0, 12)
+        f = pos - i0
+        want = np.zeros((d, d, 4))
+        for r in range(d):
+            for c in range(d):
+                want[r, c] = (
+                    src[i0[r], i0[c]] * (1 - f[r]) * (1 - f[c])
+                    + src[i1[r], i0[c]] * f[r] * (1 - f[c])
+                    + src[i0[r], i1[c]] * (1 - f[r]) * f[c]
+                    + src[i1[r], i1[c]] * f[r] * f[c])
+        np.testing.assert_allclose(got, want.astype(np.float32),
+                                   rtol=1e-5, atol=1e-6)
+
 
 def test_maxvit_resolution_retarget_via_relpos_interpolation():
     """A checkpoint trained at one resolution loads into a DIFFERENT
