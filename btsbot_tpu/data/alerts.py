@@ -110,8 +110,7 @@ def engineered_features(alert_df):
     # reference resolves ties to the object's first alert with that value
     # (alert_utils.py:413-415), so map value → first jd per object.
     first_jd = (
-        sdf.assign(_cummin=cummin)
-        .drop_duplicates(["objectId", "magpsf"], keep="first")
+        sdf.drop_duplicates(["objectId", "magpsf"], keep="first")
         .set_index(["objectId", "magpsf"])["jd"]
     )
     keys = list(zip(sdf["objectId"], cummin))

@@ -139,9 +139,12 @@ def query_images(cand, survey: str, max_workers: int | None = None):
             for object_id, image, missing in result:
                 if image is not None:
                     img_cache[object_id] = image
-                    if missing:
-                        cand.loc[cand["objectId"] == object_id,
-                                 missing_col] = True
+                # a failed/absent download returns (id, None, True) — it
+                # must still be flagged, or the 'nd' variant silently keeps
+                # the all-zero placeholder image for that object
+                if missing:
+                    cand.loc[cand["objectId"] == object_id,
+                             missing_col] = True
     return cand, img_cache
 
 

@@ -185,9 +185,13 @@ def compile_ztfids(base_dir: str = "data/base_data",
     all_ztfids = np.concatenate([all_ztfids, rejects["ZTFID"].to_numpy()])
     frames["rejects"] = rejects
 
-    for name, df in frames.items():
-        df = df[~df["ZTFID"].isin(OBJS_TO_REMOVE)]
-        df.to_csv(os.path.join(base_dir, f"{name}.csv"), index=None)
+    for name in list(frames):
+        # keep the filtered frame — trues.csv is rewritten below from
+        # frames["trues"], which must not resurrect the excluded objects
+        frames[name] = frames[name][
+            ~frames[name]["ZTFID"].isin(OBJS_TO_REMOVE)]
+        frames[name].to_csv(os.path.join(base_dir, f"{name}.csv"),
+                            index=None)
 
     if "RCF_save_time" not in frames["trues"].columns or overwrite:
         trues = query_bts_save_times(frames["trues"], session=session)

@@ -35,7 +35,10 @@ def roc_curve(labels: np.ndarray, scores: np.ndarray):
 
 def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
     fpr, tpr, _ = roc_curve(labels, scores)
-    return float(np.trapezoid(tpr, fpr))
+    # np.trapz was renamed trapezoid in numpy 2.0; support both so an
+    # unpinned install on numpy 1.x doesn't AttributeError
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    return float(trapezoid(tpr, fpr))
 
 
 def confusion_counts(labels: np.ndarray, preds: np.ndarray):

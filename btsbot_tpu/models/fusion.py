@@ -34,8 +34,7 @@ import jax.numpy as jnp
 from ..ops.resize import resize_bilinear
 from .cnn import CnnBackbone
 from .common import ACTIVATIONS, CombinedHead
-from .convnext import ConvNeXtBackbone, convnext_spec, global_avg_pool
-from .maxvit import MaxViTBackbone, get_model_image_size, maxvit_spec
+from .convnext import global_avg_pool
 
 Dtype = Any
 
@@ -73,24 +72,22 @@ class _ImageFeatures(nn.Module):
             )(x, train=train)
             return feats
         if name == "ConvNeXt":
-            spec = convnext_spec(
-                self.branch_config.get("model_kind", "convnext_nano.d1h_in1k"))
-            feats = ConvNeXtBackbone(
-                depths=spec["depths"], dims=spec["dims"], dtype=self.dtype,
-                name="backbone")(x)
+            # reuse the canonical builder so inceptionnext/.r<k> kinds keep
+            # their token_mixer + mlp_ratio (a trained branch checkpoint
+            # must graft onto an identical tree)
+            from .convnext import _backbone_from_config
+            feats = _backbone_from_config(self.branch_config, self.dtype)(x)
             feats = global_avg_pool(feats)
             return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
                                 name="head_norm")(feats)
         if name == "MaxViT":
-            model_kind = self.branch_config.get(
-                "model_kind", "maxvit_tiny_rw_224.sw_in1k")
-            spec = maxvit_spec(model_kind)
-            x = resize_bilinear(x, get_model_image_size(model_kind))
-            feats = MaxViTBackbone(
-                depths=spec["depths"], dims=spec["dims"],
-                stem_width=spec["stem_width"], dtype=self.dtype,
-                name="backbone")(x, train=train)
-            return jnp.mean(feats, axis=(1, 2))
+            # canonical builder: window = native resolution / 32, so e.g. a
+            # retargeted maxvit_tiny_rw_160 branch partitions correctly
+            from .maxvit import _backbone_and_size
+            backbone, image_size = _backbone_and_size(self.branch_config,
+                                                      self.dtype)
+            x = resize_bilinear(x, image_size)
+            return jnp.mean(backbone(x, train=train), axis=(1, 2))
         raise ValueError(f"Model {name} not supported as fusion image branch")
 
 
