@@ -238,7 +238,6 @@ def bench_end_to_end(variables, batch: int = 512, n_batches: int = 16,
 
 def main():
     import sys
-    import traceback
 
     dtype = jnp.bfloat16
     iters = 50
@@ -258,7 +257,9 @@ def main():
         if rate > best:
             best, best_batch = rate, batch
     if best == 0.0:
-        traceback.print_exc()
+        # the exceptions were caught per-batch above — print the collected
+        # messages (print_exc here would emit 'NoneType: None')
+        print("\n".join(errors), file=sys.stderr)
         print(json.dumps({"metric": "mm_convnext_pico_multimodal_inference_"
                                     "throughput",
                           "value": 0, "unit": "alerts/s/chip",

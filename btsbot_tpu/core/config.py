@@ -15,6 +15,7 @@ surface so reference configs load unchanged, but normalize them once up front:
 
 from __future__ import annotations
 
+import copy
 import json
 from typing import Any, Mapping
 
@@ -87,7 +88,10 @@ class Config(dict):
 
 
 def normalize_config(raw: Mapping[str, Any]) -> Config:
-    cfg = Config(_DEFAULTS)
+    # deep-copy the defaults: Config(_DEFAULTS) would alias the mutable
+    # list values (metadata_cols), so an in-place mutation on one returned
+    # config would corrupt every later config process-wide
+    cfg = Config(copy.deepcopy(_DEFAULTS))
     cfg.update(raw)
 
     # Legacy schema repair (reference prod_config.json:53 vs architectures.py:215-218)

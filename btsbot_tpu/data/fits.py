@@ -94,7 +94,8 @@ def write_fits_image(arr: np.ndarray) -> bytes:
     """Serialize a 2-D array as a single-HDU FITS file (test/tool helper)."""
     arr = np.asarray(arr)
     dtype_to_bitpix = {np.dtype(np.float32): -32, np.dtype(np.float64): -64,
-                       np.dtype(np.int16): 16, np.dtype(np.int32): 32}
+                       np.dtype(np.int16): 16, np.dtype(np.int32): 32,
+                       np.dtype(np.int64): 64}
     bitpix = dtype_to_bitpix[arr.dtype]
     cards = [
         _card("SIMPLE", True),

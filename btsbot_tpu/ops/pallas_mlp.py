@@ -213,7 +213,9 @@ def fast_mm_convnext_logits(variables, images, metadata, config,
     p = variables["params"]
     stats = variables.get("batch_stats", {})
     dtype = images.dtype
-    spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
+    spec = convnext_spec(getattr(config, "model_kind", None)
+                     or config.get("model_kind",
+                                   "convnext_nano.d1h_in1k"))
 
     x = fast_convnext_backbone(p["backbone"], images, spec["depths"],
                                interpret)

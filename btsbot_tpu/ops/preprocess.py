@@ -67,7 +67,14 @@ def corrupt_mask(raw_triplets: jnp.ndarray) -> jnp.ndarray:
     bad_median = ~jnp.isfinite(med)
     cleaned = clean_nonfinite(raw_triplets)
     all_zero = jnp.all(cleaned == 0, axis=(1, 2))  # (N, 3)
-    return jnp.any(bad_median | all_zero, axis=-1)
+    # norm-overflow path (alert_utils.py:158-173): a cutout with a few ±inf
+    # pixels has a FINITE median, survives nan_to_num as ±3.4e38, overflows
+    # the float32 norm to inf, and normalizes to all zeros — which the
+    # reference's POST-normalize all-zero check then drops.  Our all-zero
+    # check runs pre-normalize, so detect the overflow on the squared sum.
+    sq = jnp.sum(jnp.square(cleaned), axis=(1, 2))  # (N, 3)
+    bad_norm = ~jnp.isfinite(sq)
+    return jnp.any(bad_median | all_zero | bad_norm, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("normalize",))
@@ -80,6 +87,16 @@ def preprocess_triplets(
     on the channel axis; returns (processed triplets, drop mask).  Padding of
     undersized stamps to 63×63 is ragged and therefore handled host-side at
     packet-decode time (see btsbot_tpu.data.alerts.pad_stamp).
+
+    Documented divergence (undersized stamps only): the reference normalizes
+    the small cutout FIRST and pads with exactly 1e-9 after
+    (alert_utils.py:163-188), while this pipeline receives already-padded
+    63×63 stamps, so the ~1e-9 pad pixels participate in the norm and end up
+    at 1e-9/norm.  The norm contribution of ≤125 pad pixels at 1e-9 is
+    ~1e-16 relative and the pad-pixel values differ at the 1e-9 scale —
+    orders below the 1e-5 score-parity tolerance — accepted to keep the
+    batched path static-shaped (ragged sizes would force per-shape
+    recompiles).
     """
     drop = corrupt_mask(raw_triplets)
     out = clean_nonfinite(raw_triplets)

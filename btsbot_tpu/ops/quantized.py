@@ -144,7 +144,9 @@ def prepare_quantized(variables, config, images, metadata=None):
 
     from ..models.convnext import convnext_spec
 
-    spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
+    spec = convnext_spec(getattr(config, "model_kind", None)
+                     or config.get("model_kind",
+                                   "convnext_nano.d1h_in1k"))
     depths = tuple(spec["depths"])
 
     calibrate = jax.jit(functools.partial(_calibrate, depths=depths))

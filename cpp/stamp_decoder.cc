@@ -37,6 +37,13 @@ constexpr int kBlock = 2880;
 constexpr int kCard = 80;
 
 // Inflate a gzip stream; returns false on failure.
+// A valid stamp FITS is a few header blocks + <=63*63 pixels of <=8 bytes
+// (< ~40 KB); cap decompression well above that so a gzip bomb from a
+// malformed/hostile broker packet fails cleanly (status=1 for that stamp)
+// instead of driving unbounded allocation — std::bad_alloc escaping a
+// worker thread would std::terminate the whole serving process.
+constexpr size_t kMaxInflatedBytes = 8u << 20;  // 8 MiB
+
 bool gunzip(const uint8_t* src, size_t src_len, std::vector<uint8_t>* out) {
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
@@ -56,7 +63,11 @@ bool gunzip(const uint8_t* src, size_t src_len, std::vector<uint8_t>* out) {
       return false;
     }
     if (zs.avail_out == 0) {
-      out->resize(out->size() * 2);
+      if (out->size() >= kMaxInflatedBytes) {
+        inflateEnd(&zs);
+        return false;
+      }
+      out->resize(std::min(out->size() * 2, kMaxInflatedBytes));
     } else if (ret == Z_BUF_ERROR) {
       inflateEnd(&zs);
       return false;
@@ -200,6 +211,12 @@ int decode_one(const uint8_t* blob, size_t blob_len, int64_t out_size,
           uint32_t u;
           std::memcpy(&u, data + idx * 4, 4);
           v = static_cast<int32_t>(bswap32(u));
+          break;
+        }
+        case 64: {
+          uint64_t u;
+          std::memcpy(&u, data + idx * 8, 8);
+          v = static_cast<double>(static_cast<int64_t>(bswap64(u)));
           break;
         }
         case 8:

@@ -44,6 +44,28 @@ def test_decode_error_statuses():
     np.testing.assert_allclose(out[0], 1.0)
 
 
+def test_decode_bitpix64_matches_python_reader():
+    """BITPIX=64 (int64) is part of the fits.py subset — native and Python
+    decoders must agree, not split into status-2 vs decoded (r3 review)."""
+    rng = np.random.default_rng(5)
+    data = (rng.normal(size=(63, 63)) * 1000).astype(np.int64)
+    out, status = decode_stamps([_blob(data)])
+    assert status[0] == 0
+    np.testing.assert_allclose(out[0], data.astype(np.float32), rtol=1e-6)
+
+
+def test_gzip_bomb_fails_cleanly():
+    """A blob that decompresses to far beyond any valid stamp must come back
+    as a per-stamp error status, not unbounded allocation (a bad_alloc in a
+    worker thread would terminate the serving process)."""
+    bomb = gzip.compress(b"\0" * (64 << 20))  # 64 MiB of zeros, tiny wire size
+    good = _blob(np.ones((63, 63), np.float32))
+    out, status = decode_stamps([bomb, good])
+    assert status[0] != 0
+    assert status[1] == 0
+    np.testing.assert_allclose(out[1], 1.0)
+
+
 @pytest.mark.skipif(not native_available(),
                     reason="native library not built (no toolchain)")
 def test_native_library_loaded():

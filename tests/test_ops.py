@@ -125,3 +125,21 @@ def test_corrupt_mask_median_inf():
     trips[0, :, :, 1] = np.inf
     got = np.asarray(corrupt_mask(jnp.asarray(trips)))
     np.testing.assert_array_equal(got, [True, False])
+
+
+def test_corrupt_mask_few_inf_pixels_norm_overflow():
+    """A cutout with only a FEW ±inf pixels has a finite median but its f32
+    norm overflows; the reference's post-normalize all-zero check drops it
+    (alert_utils.py:158-173) — ours must too, or an all-zero image gets
+    scored (r3 review finding)."""
+    from btsbot_tpu.ops.preprocess import preprocess_triplets
+
+    trips = _raw_triplets(n=3)
+    trips[0, 5, 5, 0] = np.inf       # one +inf pixel, science cutout
+    trips[1, 10, 10, 2] = -np.inf    # one -inf pixel, difference cutout
+    got = np.asarray(corrupt_mask(jnp.asarray(trips)))
+    np.testing.assert_array_equal(got, [True, True, False])
+
+    out, drop = preprocess_triplets(jnp.asarray(trips))
+    np.testing.assert_array_equal(np.asarray(drop), [True, True, False])
+    assert np.all(np.isfinite(np.asarray(out)))
