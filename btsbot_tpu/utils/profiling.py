@@ -42,6 +42,12 @@ def time_device_fn(fn: Callable, args: tuple, iters: int = 50,
 
     ``fn`` must return an array (or pytree); its first argument tree is
     perturbed by a vanishing carry each iteration to defeat CSE/hoisting.
+
+    This is the general-purpose form of the methodology; bench.py and the
+    scripts/ sweeps inline specialized variants (their carries must
+    perturb specific inputs — e.g. the images but not the params, or the
+    train-step PRNG path) rather than call this helper.  Any fix to the
+    methodology (carry semantics, fencing) must be mirrored there.
     """
 
     @jax.jit

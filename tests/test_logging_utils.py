@@ -56,3 +56,20 @@ def test_summary_key_schema_matches_reference():
         assert key in flat, key
     test_flat = summary_from_diagnostics(summary, prefix="test_")
     assert "test_ROC_AUC" in test_flat
+
+
+def test_time_device_fn_honest_timer():
+    """The scan-chained honest timer returns sane per-invocation seconds and
+    actually executes the function (the methodology bench.py inlines)."""
+    import jax.numpy as jnp
+
+    from btsbot_tpu.utils.profiling import time_device_fn
+
+    x = jnp.ones((64, 64), jnp.float32)
+    w = jnp.full((64, 64), 2.0, jnp.float32)
+
+    def fn(a, b):
+        return a @ b
+
+    dt = time_device_fn(fn, (x, w), iters=5, reps=2)
+    assert 0.0 < dt < 5.0
