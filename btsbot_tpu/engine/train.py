@@ -296,11 +296,22 @@ def run_training(
         "val_accuracy": val_accs[:final_epoch + 1],
     }
 
+    # final analysis evaluates the BEST checkpoint — the reference runs its
+    # test eval on the reloaded best_model.pth (train.py:370-375), while the
+    # loop-exit state is up to `patience` epochs past the best; reload from
+    # best_dir (in-memory refs would trip train_step's buffer donation)
+    eval_params, eval_stats = state.params, state.batch_stats
+    if os.path.isdir(best_dir):
+        from .checkpoint import load_model_variables
+        best_vars = load_model_variables(best_dir)
+        eval_params = best_vars["params"]
+        eval_stats = best_vars.get("batch_stats", {})
+
     summaries = {}
     analysis = [("val", val_ds, best_raw_preds, best_val_labels)]
     if test_ds is not None:
         _, _, test_preds, test_labels = evaluate(
-            model, config, state.params, state.batch_stats, test_ds,
+            model, config, eval_params, eval_stats, test_ds,
             pos_weight, batch_size, data_shard)
         analysis.append(("test", test_ds, test_preds, test_labels))
 
@@ -348,7 +359,7 @@ def run_training(
                        and "candid" in emb_ds.candidates
                        else None)
             emb = generate_embeddings(
-                model, config, state.params, state.batch_stats, emb_ds,
+                model, config, eval_params, eval_stats, emb_ds,
                 candids=candids, seed=seed)
             import pandas as pd
             pd.DataFrame(emb, columns=["umap_emb_1", "umap_emb_2", "candid"]

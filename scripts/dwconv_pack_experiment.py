@@ -51,9 +51,14 @@ def timed(fn, *args, iters=50):
         return jnp.mean(means)
 
     float(chained(*args))
-    t0 = time.perf_counter()
-    float(chained(*args))
-    return (time.perf_counter() - t0) / 1
+    # best-of-3 to damp relay jitter (r3 review: the recorded 1.38x/0.49x
+    # numbers in the module docstring came from single-shot timings)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():

@@ -132,26 +132,23 @@ def main():
     summary = {"benchmark": "hard", "device": str(jax.devices()[0]),
                "train_alerts": len(train_ds), "train_res": src_res}
     if args.reuse_run:
-        import os as _os
-
-        from btsbot_tpu import init_model
         from btsbot_tpu.engine.checkpoint import load_model_variables
-        _, template = init_model(cfg_src, rng=0)
-        vars_src = load_model_variables(
-            _os.path.join(args.reuse_run, "best"),
-            template={"params": template["params"],
-                      "batch_stats": template.get("batch_stats", {})})
+        vars_src = load_model_variables(os.path.join(args.reuse_run, "best"))
+        vars_src.setdefault("batch_stats", {})
         summary["reused_run"] = args.reuse_run
     else:
+        from btsbot_tpu.engine.checkpoint import load_model_variables
         t0 = time.time()
         result = run_training(
             cfg_src, run_name=f"maxvit{src_res}_retarget_src",
             out_root=args.out, train_ds=train_ds,
             val_ds=val_ds, test_ds=test_ds, make_figure=False,
             log=lambda m: print(m, flush=True))
-        state = result["state"]
-        vars_src = {"params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats)}
+        # evaluate/retarget the BEST checkpoint (same model --reuse-run
+        # loads), not the loop-exit state that may be patience epochs stale
+        vars_src = load_model_variables(
+            os.path.join(result["model_dir"], "best"))
+        vars_src.setdefault("batch_stats", {})
         summary["epochs_ran"] = len(result["history"]["val_loss"])
         summary["train_wall_s"] = round(time.time() - t0, 1)
 

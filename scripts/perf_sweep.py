@@ -76,6 +76,10 @@ def run_sweep() -> dict:
     results = {}
     for name, flags in FLAG_SETS.items():
         env = {**os.environ}
+        # the baseline child must not inherit an ambient LIBTPU_INIT_ARGS
+        # (e.g. the adopted scoped-VMEM flag) or the sweep compares the
+        # candidate flags against themselves
+        env.pop("LIBTPU_INIT_ARGS", None)
         if flags:
             env["LIBTPU_INIT_ARGS"] = flags
         try:

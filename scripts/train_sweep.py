@@ -153,8 +153,14 @@ def run_child(kind: str, batch: int, variant: str, flags: str | None = None,
 
 def roofline(batch: int = 4096) -> dict:
     """FLOPs/bytes of the FULL jitted train step from XLA cost analysis on
-    the in-process CPU backend (backend-stable to a few %; the remote-TPU
-    compile would cost minutes)."""
+    the in-process CPU backend (the remote-TPU compile would cost minutes).
+
+    Honesty note (r3 review): FLOP counts are backend-stable to a few %,
+    but "bytes accessed" depends on backend-specific fusion and layout —
+    the derived intensity / memory_bound / hbm_time values are CPU-compile
+    ESTIMATES, not on-chip measurements (the JSON carries a bytes_source
+    marker).  perf_sweep.py's inference roofline reads the TPU executable's
+    own cost analysis and is the methodology to prefer where available."""
     os.environ.setdefault("JAX_PLATFORMS", "")
     import jax
     import jax.numpy as jnp
@@ -188,6 +194,7 @@ def roofline(batch: int = 4096) -> dict:
     ridge = 197e12 / 819e9  # v5e bf16 peak / HBM BW
     return {
         "batch": batch,
+        "bytes_source": "cpu_compile_estimate",  # see docstring
         "train_flops_per_alert": round(flops / batch),
         "train_bytes_per_alert": round(byts / batch),
         "arithmetic_intensity_flops_per_byte": round(intensity, 1),

@@ -113,6 +113,33 @@ def test_augment_is_pixel_preserving_and_seeded(flags):
     assert not np.array_equal(np.asarray(out1), np.asarray(out3))
 
 
+def test_augment_outputs_are_exact_dihedral_transforms():
+    """Each augmented sample must equal one of the 8 dihedral transforms of
+    its input, applied IDENTICALLY to all 3 channels — a stronger oracle
+    than pixel-multiset invariance, which any per-cutout permutation
+    (wrong-axis flip, transpose, per-channel inconsistency) also satisfies
+    (r3 review)."""
+    from btsbot_tpu.ops.augment import augment_triplets
+
+    trips = np.asarray(_raw_triplets(n=32))
+    out = np.asarray(augment_triplets(jax.random.key(7),
+                                      jnp.asarray(trips),
+                                      h_flip=True, v_flip=True, rot=True))
+    non_identity = 0
+    for i in range(len(trips)):
+        x = trips[i]  # (H, W, 3)
+        dihedral = []
+        for k in range(4):
+            r = np.rot90(x, k, axes=(0, 1))
+            dihedral.append(r)
+            dihedral.append(np.flip(r, axis=1))
+        matches = [np.array_equal(out[i], d) for d in dihedral]
+        assert any(matches), f"sample {i} is not a dihedral transform"
+        if not np.array_equal(out[i], x):
+            non_identity += 1
+    assert non_identity > 8  # the augmentation actually does something
+
+
 def test_augment_disabled_is_identity():
     trips = jnp.asarray(_raw_triplets(n=4))
     out = augment_triplets(jax.random.key(0), trips,

@@ -18,7 +18,23 @@ import torch
 import torch.nn as nn
 import torch.nn.functional as F
 
-from btsbot_tpu.models.maxvit import _rel_position_index
+def _rel_position_index(win: int) -> np.ndarray:
+    """Independent scalar-loop construction of the swin-style (win², win²)
+    index into a (2·win−1)² bias table: table row for query (qr, qc) and key
+    (kr, kc) is (qr−kr+win−1)·(2·win−1) + (qc−kc+win−1).
+
+    Deliberately NOT imported from btsbot_tpu.models.maxvit (it once was —
+    r3 review): the oracle must implement the convention itself or a
+    transposed/shifted index in the package would pass every parity test."""
+    n = win * win
+    out = np.zeros((n, n), dtype=np.int32)
+    for q in range(n):
+        qr, qc = divmod(q, win)
+        for k in range(n):
+            kr, kc = divmod(k, win)
+            out[q, k] = (qr - kr + win - 1) * (2 * win - 1) \
+                + (qc - kc + win - 1)
+    return out
 
 
 class SqueezeExcite(nn.Module):
