@@ -12,7 +12,9 @@ Results stream to ``--out`` (or stdout) as
 ``{"candid": ..., "score": float|null, "dropped": bool}`` per alert;
 ``score`` is null where the alert was dropped as corrupt/undecodable.
 
-``--synthetic N`` serves generated packets instead (smoke/throughput runs).
+``--synthetic N`` serves generated packets instead (smoke/throughput runs);
+``--avro FILE`` replays a ZTF Avro OCF archive (streamed block-by-block
+with the dependency-free in-repo codec, data/avro.py).
 """
 
 from __future__ import annotations
@@ -53,6 +55,10 @@ def main(argv=None):
                         "docstring for the wire format")
     p.add_argument("--synthetic", type=int, default=None, metavar="N",
                    help="Serve N synthetic packets instead of --jsonl")
+    p.add_argument("--avro", default=None, metavar="FILE",
+                   help="Serve alerts from a ZTF Avro OCF file (archival "
+                        "replay; streamed block-by-block with the in-repo "
+                        "codec — data/avro.py)")
     p.add_argument("--out", default=None,
                    help="JSONL results file (default stdout)")
     p.add_argument("--batch", type=int, default=3072)
@@ -82,8 +88,10 @@ def main(argv=None):
                    help="Skip precompiling the bucket executables (first "
                         "flush at each bucket size will stall on compile)")
     args = p.parse_args(argv)
-    if (args.jsonl is None) == (args.synthetic is None):
-        p.error("exactly one of --jsonl / --synthetic is required")
+    n_sources = sum(x is not None
+                    for x in (args.jsonl, args.synthetic, args.avro))
+    if n_sources != 1:
+        p.error("exactly one of --jsonl / --synthetic / --avro is required")
 
     if args.compile_cache:
         from ..utils.compile_cache import enable
@@ -131,6 +139,9 @@ def main(argv=None):
     if args.synthetic is not None:
         from ..data.synthetic import synthetic_packets
         source = synthetic_packets(args.synthetic, config["metadata_cols"])
+    elif args.avro is not None:
+        from ..data.avro import iter_ocf_stream
+        source = iter_ocf_stream(open(args.avro, "rb"))  # noqa: SIM115
     else:
         source = _iter_jsonl_packets(args.jsonl)
 

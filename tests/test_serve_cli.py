@@ -66,6 +66,48 @@ def test_serve_cli_synthetic_and_jsonl(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_serve_cli_avro_archive_replay(tmp_path):
+    """--avro: a ZTF Avro OCF archive replays through the daemon with the
+    in-repo codec and matches the direct scorer."""
+    import gzip
+
+    from btsbot_tpu.data.avro import write_ocf, ztf_alert_schema
+    from btsbot_tpu.data.fits import write_fits_image
+
+    model_dir, cfg = _train_model_dir(tmp_path)
+    meta_cols = cfg["metadata_cols"]
+
+    rng = np.random.default_rng(21)
+    packets = []
+    for i in range(5):
+        p = {"objectId": f"ZTF25x{i}", "candid": i,
+             "candidate": {c: float(rng.normal()) for c in meta_cols}}
+        for key in ("cutoutScience", "cutoutTemplate", "cutoutDifference"):
+            data = rng.normal(size=(63, 63)).astype(np.float32)
+            p[key] = {"fileName": f"x{i}.fits.gz",
+                      "stampData": gzip.compress(write_fits_image(data))}
+        packets.append(p)
+
+    avro_path = tmp_path / "night.avro"
+    avro_path.write_bytes(write_ocf(ztf_alert_schema(meta_cols), packets,
+                                    codec="deflate", block_records=2))
+
+    out = tmp_path / "avro_scores.jsonl"
+    serve_main([model_dir, "--avro", str(avro_path), "--batch", "4",
+                "--out", str(out)])
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [r["candid"] for r in rows] == [0, 1, 2, 3, 4]
+    assert all(not r["dropped"] for r in rows)
+
+    from btsbot_tpu.engine.distill import load_teacher
+    _, variables, t_cfg = load_teacher(model_dir)
+    direct = AlertStreamScorer(t_cfg, variables, batch_size=4)
+    want, drop = direct(packets)
+    assert not drop.any()
+    np.testing.assert_allclose([r["score"] for r in rows], want,
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_val_cli_with_calibration(tmp_path):
     """`cli.val --calibrate` writes perf.json with a calibration block."""
     import pandas as pd
