@@ -40,18 +40,22 @@ def parse_args():
     p.add_argument("--example-dir", default=EXAMPLE_DIR,
                    help="Directory with usage_triplets.npy + "
                         "usage_candidates.csv")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend (no TPU needed)")
     return p.parse_args()
 
 
 def main():
+    args = parse_args()
+    if args.cpu:
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
     import pandas as pd
 
     import btsbot_tpu
     from btsbot_tpu.engine.serve import AlertScorer
-
-    args = parse_args()
 
     if args.local:
         import flax.serialization

@@ -46,7 +46,13 @@ def main():
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--n", type=int, default=2048)
     p.add_argument("--out", default="/tmp/btsbot_quickstart")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend (no TPU needed)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from btsbot_tpu import normalize_config, run_training
     from btsbot_tpu.engine.serve import AlertScorer
