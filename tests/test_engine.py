@@ -161,6 +161,48 @@ def test_run_training_resume_continues(tmp_path):
     assert result["history"]["train_loss"][0] > 0  # restored, not zeros
 
 
+def test_resume_finished_run_regenerates_report(tmp_path):
+    """Resuming a run whose every epoch already completed must regenerate
+    the report instead of raising NameError (r3 review): the epoch loop
+    body never runs, so the final analysis evaluates the best checkpoint."""
+    config = normalize_config({**SMALL_CFG, "epochs": 2, "patience": 10})
+    kwargs = dict(run_name="f", out_root=str(tmp_path),
+                  train_ds=synthetic_dataset(96, seed=0),
+                  val_ds=synthetic_dataset(48, seed=1),
+                  make_figure=False, log=lambda *_: None)
+    first = run_training(config, **kwargs)
+    again = run_training(config, resume=True, **kwargs)
+    assert len(again["history"]["train_loss"]) == 2
+    assert "roc_auc" in again["summaries"]["val"] \
+        or "alert_precision" in again["summaries"]["val"] \
+        or again["summaries"]["val"]  # report built, no NameError
+    del first
+
+
+def test_resume_patience_counter_includes_saved_epoch(tmp_path):
+    """The latest/ checkpoint must store the patience counter AFTER the
+    epoch's improvement update (r3 review: it was one epoch stale).  With
+    lr=0 the val loss is identical every epoch: epoch 0 improves from inf,
+    epochs 1..2 do not, so the stored counter after 3 epochs is exactly 2."""
+    import os
+
+    from btsbot_tpu.engine.checkpoint import restore_train_state
+
+    config = normalize_config({**SMALL_CFG, "epochs": 3, "patience": 10,
+                               "learning_rate": 0.0})
+    result = run_training(config, run_name="p", out_root=str(tmp_path),
+                          train_ds=synthetic_dataset(96, seed=0),
+                          val_ds=synthetic_dataset(48, seed=1),
+                          make_figure=False, log=lambda *_: None)
+    latest = os.path.join(result["model_dir"], "latest")
+    model, variables = init_model(config, rng=0)
+    tx = make_optimizer(config, steps_per_epoch=3)
+    template = create_train_state(config, variables, tx)
+    _, extra = restore_train_state(latest, template)
+    assert int(extra["epoch"]) == 2
+    assert int(extra["epochs_since_improvement"]) == 2
+
+
 def test_frozen_fusion_branches_stay_frozen():
     image_cfg = {**SMALL_CFG, "model_name": "um_cnn", "fc1_neurons": 8,
                  "fc2_neurons": 8, "dropout": 0.1}
