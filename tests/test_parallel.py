@@ -130,6 +130,12 @@ def test_alert_scorer_mesh_sharded():
         s2 = sharded(ds.images, ds.metadata)
     np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-6)
 
+    # a batch size the data axis can't split must fail loudly at
+    # construction, not with an opaque sharding error at dispatch
+    with pytest.raises(ValueError, match="divisible"):
+        AlertScorer(config, variables, batch_size=100,
+                    dtype=jnp.float32, mesh=make_mesh())
+
 
 def test_multichip_serving_matches_single_device():
     """AlertScorer over the 8-device mesh returns the same scores as the
