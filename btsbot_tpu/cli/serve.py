@@ -136,12 +136,14 @@ def main(argv=None):
               f"{scorer.bucket_sizes}...", file=sys.stderr)
         scorer.warmup()
 
+    avro_fh = None
     if args.synthetic is not None:
         from ..data.synthetic import synthetic_packets
         source = synthetic_packets(args.synthetic, config["metadata_cols"])
     elif args.avro is not None:
         from ..data.avro import iter_ocf_stream
-        source = iter_ocf_stream(open(args.avro, "rb"))  # noqa: SIM115
+        avro_fh = open(args.avro, "rb")  # noqa: SIM115 — closed in finally
+        source = iter_ocf_stream(avro_fh)
     else:
         source = _iter_jsonl_packets(args.jsonl)
 
@@ -178,6 +180,8 @@ def main(argv=None):
     try:
         stats = consumer.run()
     finally:
+        if avro_fh is not None:
+            avro_fh.close()
         if out is not sys.stdout:
             out.close()
     print(json.dumps(stats), file=sys.stderr)

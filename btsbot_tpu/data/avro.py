@@ -209,7 +209,12 @@ def _union_branch(schemas, value) -> int:
                 # JSON-decoded counts arrive as ints
                 return i
             if isinstance(value, float) and s in ("int", "long"):
-                return i
+                # only a lossless demotion may take the int branch; a
+                # fractional float must NOT be silently truncated by the
+                # int encoder — fall through to the no-branch error
+                if value.is_integer():
+                    return i
+                continue
             if isinstance(value, str) and (s == "string"
                                            or (isinstance(s, list)
                                                and s[0] == "enum")):

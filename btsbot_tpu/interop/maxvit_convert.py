@@ -159,11 +159,13 @@ def retarget_model_kind(model_kind: str, resolution: int) -> str:
         raise ValueError(
             f"--retarget-resolution only applies to MaxViT model kinds, "
             f"got {model_kind!r}")
-    new, n = re.subn(r"_(\d+)(\.)", f"_{resolution}\\2", model_kind, count=1)
+    # resolution segment may be terminal (``maxvit_tiny_rw_224``) or
+    # followed by a timm variant suffix (``maxvit_tiny_rw_224.sw_in1k``)
+    new, n = re.subn(r"_(\d+)(?=\.|$)", f"_{resolution}", model_kind, count=1)
     if n == 0:
         raise ValueError(
             f"model kind {model_kind!r} does not encode a native resolution "
-            "(expected a timm-style '_<res>.' segment)")
+            "(expected a timm-style '_<res>' segment)")
     return new
 
 

@@ -66,7 +66,10 @@ def get_model_image_size(model_kind: str) -> int:
     """Native input resolution parsed from the timm model string
     (reference architectures.py:10-22)."""
     if "maxvit" in model_kind.lower():
-        m = re.search(r"_(\d+)\.", model_kind)
+        # terminal resolution (``maxvit_tiny_rw_224``) or followed by a
+        # timm variant suffix (``maxvit_tiny_rw_224.sw_in1k``) — same
+        # pattern as interop.maxvit_convert.retarget_model_kind
+        m = re.search(r"_(\d+)(?=\.|$)", model_kind)
         if m:
             return int(m.group(1))
     return 224

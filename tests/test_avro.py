@@ -107,6 +107,18 @@ def test_int_values_fit_double_unions():
     assert got[1]["x"] is None and got[1]["y"] == 1.5
 
 
+def test_fractional_float_rejects_int_union():
+    """A fractional float offered to a [null, long] union must raise, not be
+    silently truncated by the int encoder; an integral float is a lossless
+    demotion and is accepted (ADVICE r3)."""
+    schema = {"type": "record", "name": "T", "fields": [
+        {"name": "n", "type": ["null", "long"]}]}
+    _, got = read_ocf(write_ocf(schema, [{"n": 2.0}]))
+    assert got[0]["n"] == 2
+    with pytest.raises(ValueError, match="no union branch"):
+        write_ocf(schema, [{"n": 2.7}])
+
+
 def test_iter_ocf_stream_nonseekable_incremental():
     """iter_ocf_stream must work block-by-block on a non-seekable source
     (tarfile.extractfile streams) — and yield before the file is fully

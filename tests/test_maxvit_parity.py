@@ -243,6 +243,18 @@ def test_retarget_model_kind():
         retarget_model_kind("convnext_pico.d1_in1k", 160)
     with pytest.raises(ValueError):
         retarget_model_kind("maxvit_tiny", 160)  # no resolution encoded
+    # bare timm kind without a variant suffix still encodes a resolution
+    assert retarget_model_kind("maxvit_tiny_rw_224", 160) == \
+        "maxvit_tiny_rw_160"
+
+
+def test_get_model_image_size_bare_kind():
+    from btsbot_tpu.models.maxvit import get_model_image_size
+
+    assert get_model_image_size("maxvit_tiny_rw_256") == 256
+    assert get_model_image_size("maxvit_tiny_rw_256.sw_in1k") == 256
+    assert get_model_image_size("maxvit_tiny") == 224  # no resolution → 224
+    assert get_model_image_size("convnext_pico.d1_in1k") == 224
 
 
 def test_serve_and_export_cli_retarget(tmp_path):
