@@ -96,3 +96,70 @@ def test_apply_val_cuts():
 
     out3 = apply_val_cuts(ds, normalize_config(SMALL_CFG))
     assert len(out3) == 20  # no flags -> untouched
+
+
+class _FakeWandbRun:
+    def __init__(self, name, config):
+        self.name = name
+        self.config = config
+        self.summary = {}
+        self.logged = []
+        self.closed = False
+
+    def log(self, metrics, step=None):
+        self.logged.append((step, dict(metrics)))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.closed = True
+        return False
+
+
+class _FakeWandbAPI:
+    """The wandb surface run_wandb_agent touches: agent() pulls trial
+    configs from the 'sweep server' and calls the function per trial."""
+
+    def __init__(self, trial_configs):
+        self.trial_configs = list(trial_configs)
+        self.runs = []
+        self.agent_calls = []
+
+    def init(self, **kw):
+        run = _FakeWandbRun(f"fake-run-{len(self.runs)}",
+                            self.trial_configs[len(self.runs)])
+        self.runs.append(run)
+        return run
+
+    def agent(self, sweep_id, function, count, project):
+        self.agent_calls.append((sweep_id, count, project))
+        for _ in range(count):
+            function()
+
+
+def test_wandb_sweep_agent_adapter(tmp_path):
+    """Reference sweep workflow (train.py:46-54,569-575) drop-in: the sweep
+    server (fake) supplies per-trial configs; each trial trains fully and
+    logs epochs + summary through the LIVE run without opening/closing it."""
+    from btsbot_tpu.cli.sweep import run_wandb_agent
+
+    base = {**SMALL_CFG, "epochs": 2}
+    api = _FakeWandbAPI([
+        {**base, "learning_rate": 1e-3},
+        {**base, "learning_rate": 3e-3},
+    ])
+    results = run_wandb_agent(
+        "4egcxmet", project="BTSbotv2", count=2, out_root=str(tmp_path),
+        wandb_api=api, make_figure=False,
+        train_ds=synthetic_dataset(96, seed=0),
+        val_ds=synthetic_dataset(48, seed=1))
+
+    assert api.agent_calls == [("4egcxmet", 2, "BTSbotv2")]
+    assert [r["run_name"] for r in results] == ["fake-run-0", "fake-run-1"]
+    assert all(np.isfinite(r["best_val_loss"]) for r in results)
+    for run in api.runs:
+        assert run.closed            # agent context closed the run
+        assert len(run.logged) >= 2  # per-epoch metrics went to the run
+        assert any("val_loss" in m for _, m in run.logged)
+        assert run.summary           # diagnostics summary landed
