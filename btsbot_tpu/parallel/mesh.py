@@ -39,7 +39,9 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> None:
+                           process_id: int | None = None,
+                           heartbeat_timeout_seconds: int | None = None
+                           ) -> None:
     """Multi-host setup: one call per host before any jax use.
 
     On TPU pods with standard environment variables, bare
@@ -57,4 +59,8 @@ def initialize_distributed(coordinator_address: str | None = None,
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
+    if heartbeat_timeout_seconds is not None:
+        # failure-detection SLO: how quickly surviving hosts notice a dead
+        # peer and abort (instead of hanging in its collectives)
+        kwargs["heartbeat_timeout_seconds"] = heartbeat_timeout_seconds
     _jax.distributed.initialize(**kwargs)

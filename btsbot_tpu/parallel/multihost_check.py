@@ -25,11 +25,20 @@ import sys
 
 
 def run_worker(process_id: int, num_processes: int, port: int,
-               devices_per_process: int = 2, model_axis: int = 1) -> dict:
+               devices_per_process: int = 2, model_axis: int = 1,
+               steps: int = 2, die_after_step: int | None = None,
+               heartbeat_timeout: int | None = None) -> dict:
     """Execute the multi-host check in THIS process.  jax must not have
     initialized a backend yet: the virtual-device count is applied through
     XLA_FLAGS here, before the first backend use.
-    Returns {'loss': float, 'global_devices': int}."""
+    Returns {'loss': float, 'global_devices': int}.
+
+    ``die_after_step`` simulates an abrupt host failure (fault-injection
+    harness): after completing that step this process ``os._exit(17)``s
+    without any shutdown handshake; survivors must then fail fast (the
+    coordination service's heartbeat detection, bounded by
+    ``heartbeat_timeout``) instead of hanging in the dead host's
+    collectives."""
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -45,7 +54,8 @@ def run_worker(process_id: int, num_processes: int, port: int,
 
     initialize_distributed(coordinator_address=f"localhost:{port}",
                            num_processes=num_processes,
-                           process_id=process_id)
+                           process_id=process_id,
+                           heartbeat_timeout_seconds=heartbeat_timeout)
 
     import numpy as np
 
@@ -121,21 +131,38 @@ def run_worker(process_id: int, num_processes: int, port: int,
             data_shard, x, (global_batch,) + x.shape[1:])
 
     loss = None
-    for _ in range(2):
+    for step_i in range(steps):
         state, metrics = train_step(
             state, globalize(imgs), globalize(meta), globalize(labels),
             jnp.float32(1.0))
         loss = float(metrics["loss"])
+        if die_after_step is not None and step_i == die_after_step:
+            print(f"MULTIHOST_DYING process={process_id} step={step_i}",
+                  flush=True)
+            os._exit(17)  # abrupt: no shutdown handshake, like a dead host
     return {"loss": loss, "global_devices": int(global_devices),
             "process_count": int(jax.process_count())}
 
 
 def main(argv=None) -> None:
     argv = argv if argv is not None else sys.argv[1:]
-    process_id, num_processes, port = (int(a) for a in argv[:3])
-    devices = int(argv[3]) if len(argv) > 3 else 2
-    model_axis = int(argv[4]) if len(argv) > 4 else 1
-    result = run_worker(process_id, num_processes, port, devices, model_axis)
+    kwargs = {}
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--steps":
+            kwargs["steps"] = int(next(it))
+        elif a == "--die-after":
+            kwargs["die_after_step"] = int(next(it))
+        elif a == "--heartbeat-timeout":
+            kwargs["heartbeat_timeout"] = int(next(it))
+        else:
+            pos.append(a)
+    process_id, num_processes, port = (int(a) for a in pos[:3])
+    devices = int(pos[3]) if len(pos) > 3 else 2
+    model_axis = int(pos[4]) if len(pos) > 4 else 1
+    result = run_worker(process_id, num_processes, port, devices, model_axis,
+                        **kwargs)
     print(f"MULTIHOST_OK process={process_id} "
           f"devices={result['global_devices']} "
           f"processes={result['process_count']} loss={result['loss']:.6f}",
