@@ -273,15 +273,16 @@ def main():
         summary[name] = s
         print(f"{name}: {json.dumps(s)}", flush=True)
 
-    # merge into any existing summary so per-model reruns don't clobber
-    # previously recorded models
-    merged = {"device": str(jax.devices()[0]), "models": {}}
-    if os.path.isfile(summary_path):
-        with open(summary_path) as f:
-            merged["models"] = json.load(f).get("models", {})
-    merged["models"].update(summary)
-    with open(summary_path, "w") as f:
-        json.dump(merged, f, indent=1)
+        # merge into any existing summary after EVERY model so a mid-run
+        # backend outage doesn't lose the models that already finished,
+        # and per-model reruns don't clobber previously recorded models
+        merged = {"device": str(jax.devices()[0]), "models": {}}
+        if os.path.isfile(summary_path):
+            with open(summary_path) as f:
+                merged["models"] = json.load(f).get("models", {})
+        merged["models"].update(summary)
+        with open(summary_path, "w") as f:
+            json.dump(merged, f, indent=1)
     print("QUALITY_RUN_DONE", flush=True)
 
 
