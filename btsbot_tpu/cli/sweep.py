@@ -164,6 +164,10 @@ def main(argv=None):
                         "doesn't vary")
     args = p.parse_args(argv)
     if args.wandb_sweep_id:
+        if args.sweep_config:
+            p.error("a local sweep JSON and --wandb-sweep-id are mutually "
+                    "exclusive — the wandb server supplies the trial "
+                    "configs")
         run_wandb_agent(args.wandb_sweep_id, project=args.project,
                         count=args.count, data_dir=args.data_dir,
                         out_root=args.out_root,

@@ -40,6 +40,8 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
+    import jax.numpy as jnp
+
     from btsbot_tpu.core.config import normalize_config
     from btsbot_tpu.engine.checkpoint import load_model_checkpoint
     from btsbot_tpu.engine.eval import predict_dataset
@@ -67,7 +69,11 @@ def main():
         with open(os.path.join(model_dir, "report.json")) as f:
             cfg = normalize_config(json.load(f)["train_config"])
         t0 = time.time()
-        model, _ = init_model(cfg, rng=0)
+        # evaluate in the dtype the run trained/evaluated in (engine/train.py
+        # passes dtype=compute_dtype; defaulting to f32 here would fold dtype
+        # drift into the staleness delta)
+        compute_dtype = jnp.dtype(cfg.get("compute_dtype", "float32"))
+        model, _ = init_model(cfg, rng=0, dtype=compute_dtype)
         variables = load_model_checkpoint(cfg, model_dir)
         _, scores = predict_dataset(
             model, cfg, variables["params"],
@@ -84,9 +90,10 @@ def main():
                 if best.get("roc_auc") is not None
                 and stale.get("roc_auc") is not None else None,
             "eval_wall_s": round(time.time() - t0, 1),
-            "note": "best/ checkpoint re-scored on CPU (bf16 compute as "
-                    "trained); committed column was loop-exit weights "
-                    "measured on-chip",
+            "note": f"best/ checkpoint re-scored on CPU in "
+                    f"{compute_dtype.name} (the run's compute_dtype); "
+                    "committed column was loop-exit weights measured "
+                    "on-chip",
         }
         print(f"{name}: {json.dumps(results[name])}", flush=True)
 

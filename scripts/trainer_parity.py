@@ -47,6 +47,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# single source of truth for the fixture's metadata columns — the fixtures
+# come from quality_run.make_dataset, which populates exactly these
+from quality_run import META_COLS  # noqa: E402
+
 REF_DIR = "/root/reference/btsbot"
 
 # Hyperparameters shared verbatim by both trainers for every run.
@@ -130,9 +134,12 @@ def _build_transforms_stub():
     def rotate(img, angle):
         # RandomRightAngleRotation only ever passes multiples of 90
         # (utils.py:46); torchvision rotates CCW for positive angles, which
-        # for exact right angles is torch.rot90 in the (W, H) plane.
+        # for exact right angles is torch.rot90 in the (H, W) plane —
+        # dims=[-2,-1] matches np.rot90's CCW (dims=[-1,-2] would be CW;
+        # immaterial to parity stats since angles are uniform over
+        # {0,90,180,270}, but the stub should match torchvision exactly).
         k = int(angle) // 90 % 4
-        return torch.rot90(img, k, dims=[-1, -2])
+        return torch.rot90(img, k, dims=[-2, -1])
 
     from importlib.machinery import ModuleSpec
 
@@ -399,15 +406,6 @@ def main():
         json.dump(results, f, indent=1)
     print(f"wrote {out_path}")
     print("TRAINER_PARITY_DONE", flush=True)
-
-
-META_COLS = [
-    "sgscore1", "distpsnr1", "sgscore2", "distpsnr2", "fwhm", "magpsf",
-    "sigmapsf", "chipsf", "ra", "dec", "diffmaglim", "ndethist", "nmtchps",
-    "age", "days_since_peak", "days_to_peak", "peakmag_so_far", "new_drb",
-    "ncovhist", "nnotdet", "chinr", "sharpnr", "scorr", "sky",
-    "maxmag_so_far",
-]
 
 
 if __name__ == "__main__":

@@ -63,6 +63,13 @@ BTSBOT_REPOS = [
 
 RTOL, ATOL = 1e-4, 1e-5  # reference verify tolerance (to_onnx.py:135-137)
 
+# The repo that produced example_data's expected_scores column (README.md
+# usage defaults: multi-modal ConvNeXt, galaxyzoo pretraining).  Closing
+# expected_scores is only demanded when this repo is in the validated set —
+# other repos are different trained models and legitimately score
+# differently.
+EXPECTED_SCORES_REPO = ("convnext", True, "galaxyzoo")
+
 
 # --------------------------------------------------------------------------
 # Fetchers (each injectable for the offline harness test)
@@ -284,8 +291,8 @@ def run_all(timm_kinds=TIMM_KINDS, btsbot_repos=BTSBOT_REPOS,
             fixture=None, log=print) -> dict:
     results: dict = {"timm": [], "btsbot": []}
     for kind in timm_kinds:
-        sd = state_dict_fetcher(kind) if state_dict_fetcher else None
         try:
+            sd = state_dict_fetcher(kind) if state_dict_fetcher else None
             results["timm"].append(validate_timm_backbone(
                 kind, state_dict=sd, torch_oracle=torch_oracle, log=log))
         except Exception as e:  # keep going: each artifact closes separately
@@ -317,7 +324,12 @@ def run_all(timm_kinds=TIMM_KINDS, btsbot_repos=BTSBOT_REPOS,
     results["closure"] = {
         "timm_ok": all(r.get("ok") for r in results["timm"]),
         "btsbot_ok": bool(present) and all(r.get("ok") for r in present),
-        "expected_scores_closed": bool(matched),
+        # a match anywhere closes expected_scores; absence of a match only
+        # fails the run when the provenance repo was in the validated set —
+        # other repos are different trained models and legitimately score
+        # differently (None = not applicable to this run's subset)
+        "expected_scores_closed": True if matched else (
+            False if EXPECTED_SCORES_REPO in list(btsbot_repos) else None),
     }
     if out:
         os.makedirs(out, exist_ok=True)
@@ -351,7 +363,8 @@ def main():
         repos = [(arch, modal == "mm", pre)]
     results = run_all(btsbot_repos=repos, models_root=args.models_root,
                       out=args.out)
-    ok = all(results["closure"].values()) if not args.timm_only \
+    ok = all(v for v in results["closure"].values()
+             if v is not None) if not args.timm_only \
         else results["closure"]["timm_ok"]
     sys.exit(0 if ok else 1)
 
