@@ -163,3 +163,17 @@ def test_wandb_sweep_agent_adapter(tmp_path):
         assert len(run.logged) >= 2  # per-epoch metrics went to the run
         assert any("val_loss" in m for _, m in run.logged)
         assert run.summary           # diagnostics summary landed
+
+
+def test_sweep_cli_rejects_json_with_wandb_id(tmp_path):
+    """A local sweep JSON and --wandb-sweep-id are mutually exclusive —
+    silently dropping either half of the command line hid user error."""
+    import pytest
+
+    from btsbot_tpu.cli.sweep import main
+
+    cfg = tmp_path / "sweep.json"
+    cfg.write_text("{}")
+    with pytest.raises(SystemExit) as e:
+        main([str(cfg), "--wandb-sweep-id", "abc123"])
+    assert e.value.code == 2  # argparse usage error

@@ -193,3 +193,36 @@ def test_run_all_offline(fake_snapshot, tmp_path):
         on_disk = json.load(f)
     assert on_disk["expected_scores_matched_by"] == \
         ["nabeelr/BTSbot-convnext-pico-in1k-metadata"]
+
+
+def test_closure_not_applicable_without_provenance_repo(fake_snapshot,
+                                                        tmp_path):
+    """A single-repo run of a non-provenance model that does NOT reproduce
+    expected_scores is still a successful validation: only
+    EXPECTED_SCORES_REPO is expected to match the golden column."""
+    models_root, (trips, cand) = fake_snapshot
+    cand = cand.copy()
+    cand["expected_scores"] = 1.0 - cand["expected_scores"]
+    res = vrc.run_all(
+        timm_kinds=(), btsbot_repos=[("convnext", True, "imagenet")],
+        models_root=models_root, out=str(tmp_path / "docs"),
+        fixture=(trips, cand), log=lambda *_: None)
+    assert res["closure"]["btsbot_ok"] is True
+    assert res["closure"]["expected_scores_closed"] is None
+    assert all(v for v in res["closure"].values() if v is not None)
+
+
+def test_closure_fails_when_provenance_repo_mismatches(fake_snapshot,
+                                                       tmp_path):
+    models_root, (trips, cand) = fake_snapshot
+    cand = cand.copy()
+    cand["expected_scores"] = 1.0 - cand["expected_scores"]
+    # the provenance repo is in the set but absent from the fake snapshot
+    # dir (fetch fails) -> no match anywhere -> closure must be False
+    res = vrc.run_all(
+        timm_kinds=(),
+        btsbot_repos=[vrc.EXPECTED_SCORES_REPO,
+                      ("convnext", True, "imagenet")],
+        models_root=models_root, out=str(tmp_path / "docs"),
+        fixture=(trips, cand), log=lambda *_: None)
+    assert res["closure"]["expected_scores_closed"] is False
