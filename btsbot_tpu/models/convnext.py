@@ -35,6 +35,7 @@ import re
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .common import (
@@ -120,18 +121,58 @@ class InceptionMixer(nn.Module):
         return jnp.concatenate([y0, y1, y2, xs[3]], axis=-1)
 
 
+class DWConvDense(nn.Module):
+    """7×7 depthwise conv applied as a diagonal-expanded DENSE conv.
+
+    Param tree is bit-identical to ``nn.Conv(dim, (7, 7),
+    feature_group_count=dim)`` — kernel (7, 7, 1, dim) + bias (dim,), same
+    initializers and RNG path — so checkpoints, converters, and exporters
+    are unaffected; only the lowering changes.  The diagonal expansion
+    ``K[kh, kw, cin, cout] = kernel[kh, kw, 0, cout]·[cin==cout]`` is exact
+    (off-diagonal zeros contribute nothing) and routes the op through XLA's
+    dense-conv path instead of the grouped/VPU path.
+
+    bf16 SERVING optimization only: on TPU the dense form runs on the MXU
+    at XLA's DEFAULT precision (bf16 multiplies even in f32 — measured
+    ~1.2e-3 logit delta on the flagship, scripts/dwconv_dense_ab.py), while
+    the depthwise form computes true f32 on the VPU.  Keep it OFF for f32
+    bit-parity paths (torch-oracle tests, golden fixtures); in bf16 both
+    forms quantize identically.  See docs/dwconv_dense_experiment.json and
+    the ``dwconv_dense`` config key (docs/CONFIG.md)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 1, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        kernel, bias, x = nn.dtypes.promote_dtype(
+            kernel, bias, x, dtype=self.dtype)
+        # (7, 7, cin, cout) with kd[.., c, c] = kernel[.., 0, c]: HWIO layout
+        kd = kernel[:, :, 0, :, None] * jnp.eye(self.dim, dtype=kernel.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kd, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias
+
+
 class ConvNeXtBlock(nn.Module):
     dim: int
     ls_init_value: float = 1e-6
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
     mlp_ratio: float = 4.0
+    dwconv_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         shortcut = x
         if self.token_mixer == "inception":
             x = InceptionMixer(self.dim, dtype=self.dtype, name="mixer")(x)
+        elif self.dwconv_dense:
+            x = DWConvDense(self.dim, dtype=self.dtype, name="conv_dw")(x)
         else:
             x = nn.Conv(
                 self.dim, (7, 7), padding="SAME",
@@ -159,6 +200,7 @@ class ConvNeXtStage(nn.Module):
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
     mlp_ratio: float = 4.0
+    dwconv_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -171,6 +213,7 @@ class ConvNeXtStage(nn.Module):
             x = ConvNeXtBlock(self.dim, self.ls_init_value,
                               self.token_mixer, self.dtype,
                               mlp_ratio=self.mlp_ratio,
+                              dwconv_dense=self.dwconv_dense,
                               name=f"block{b}")(x)
         return x
 
@@ -184,6 +227,7 @@ class ConvNeXtBackbone(nn.Module):
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
     mlp_ratio: float = 4.0
+    dwconv_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -196,6 +240,7 @@ class ConvNeXtBackbone(nn.Module):
                 ls_init_value=self.ls_init_value,
                 token_mixer=self.token_mixer, dtype=self.dtype,
                 mlp_ratio=self.mlp_ratio,
+                dwconv_dense=self.dwconv_dense,
                 name=f"stage{s}",
             )(x)
         return x
@@ -207,6 +252,7 @@ def _backbone_from_config(config, dtype) -> ConvNeXtBackbone:
         depths=spec["depths"], dims=spec["dims"],
         token_mixer=spec.get("token_mixer", "dwconv7"), dtype=dtype,
         mlp_ratio=spec.get("mlp_ratio", 4.0),
+        dwconv_dense=bool(config.get("dwconv_dense", False)),
         name="backbone")
 
 

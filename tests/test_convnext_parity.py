@@ -73,3 +73,38 @@ def test_mm_convnext_parity():
         variables, image_input=jnp.asarray(img),
         metadata_input=jnp.asarray(meta), train=False))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_dwconv_dense_lowering_matches_depthwise():
+    """`dwconv_dense: true` re-lowers every block's 7x7 depthwise conv as a
+    diagonal-expanded dense conv (models/convnext.py::DWConvDense, a
+    measured serving optimization — docs/dwconv_dense_experiment.json).
+    Contract: the param tree is bit-identical to the depthwise form (same
+    paths, shapes, AND init values — checkpoints interchange freely) and
+    the forward pass matches on the same weights."""
+    from btsbot_tpu import init_model
+
+    config_dw = normalize_config({**BASE_CFG, "model_name": "mm_ConvNeXt"})
+    config_dd = normalize_config({**BASE_CFG, "model_name": "mm_ConvNeXt",
+                                  "dwconv_dense": True})
+    model_dw, v_dw = init_model(config_dw, rng=0)
+    model_dd, v_dd = init_model(config_dd, rng=0)
+
+    import jax.tree_util as tu
+    paths_dw = tu.tree_leaves_with_path(v_dw)
+    paths_dd = tu.tree_leaves_with_path(v_dd)
+    assert [p for p, _ in paths_dw] == [p for p, _ in paths_dd]
+    for (path, a), (_, b) in zip(paths_dw, paths_dd):
+        assert a.shape == b.shape, path
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+    img, meta = _rand_inputs(seed=3)
+    want = np.asarray(model_dw.apply(
+        v_dw, image_input=jnp.asarray(img),
+        metadata_input=jnp.asarray(meta), train=False))
+    # the depthwise-form weights through the dense lowering
+    got = np.asarray(model_dd.apply(
+        v_dw, image_input=jnp.asarray(img),
+        metadata_input=jnp.asarray(meta), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
