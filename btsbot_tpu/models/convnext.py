@@ -32,6 +32,7 @@ Head-surgery parity with the reference:
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -136,9 +137,17 @@ class DWConvDense(nn.Module):
     at XLA's DEFAULT precision (bf16 multiplies even in f32 — measured
     ~1.2e-3 logit delta on the flagship, scripts/dwconv_dense_ab.py), while
     the depthwise form computes true f32 on the VPU.  Keep it OFF for f32
-    bit-parity paths (torch-oracle tests, golden fixtures); in bf16 both
-    forms quantize identically.  See docs/dwconv_dense_experiment.json and
-    the ``dwconv_dense`` config key (docs/CONFIG.md)."""
+    bit-parity paths (torch-oracle tests, golden fixtures); in bf16 the two
+    forms agree within serving quantization noise (<0.01 score delta, gated
+    in scripts/dwconv_dense_ab.py — MXU vs VPU routing differs even in
+    bf16).  HBM cost: the diagonal expansion materializes a (7, 7, C, C)
+    kernel per block at trace time — negligible at pico widths (stage 3,
+    C=512: ~51 MB f32 / block, and XLA folds the constant), but ~196 MB
+    f32 per stage-3 block at convnext_base width (C=1024);
+    ``_backbone_from_config`` therefore only applies the lowering below
+    ``DWCONV_DENSE_MAX_DIM`` channels, where it was measured.  See
+    docs/dwconv_dense_experiment.json and the ``dwconv_dense`` config key
+    (docs/CONFIG.md)."""
 
     dim: int
     dtype: Dtype = jnp.float32
@@ -192,6 +201,12 @@ class ConvNeXtBlock(nn.Module):
         return shortcut + x
 
 
+# dwconv_dense is only applied to stages at or below this channel width: the
+# diagonal kernel is (7,7,C,C) per block (~196 MB f32/block at C=1024) and
+# the lowering was only measured to win at pico-scale widths (<=512).
+DWCONV_DENSE_MAX_DIM = 512
+
+
 class ConvNeXtStage(nn.Module):
     dim: int
     depth: int
@@ -240,7 +255,7 @@ class ConvNeXtBackbone(nn.Module):
                 ls_init_value=self.ls_init_value,
                 token_mixer=self.token_mixer, dtype=self.dtype,
                 mlp_ratio=self.mlp_ratio,
-                dwconv_dense=self.dwconv_dense,
+                dwconv_dense=self.dwconv_dense and dim <= DWCONV_DENSE_MAX_DIM,
                 name=f"stage{s}",
             )(x)
         return x
@@ -248,11 +263,25 @@ class ConvNeXtBackbone(nn.Module):
 
 def _backbone_from_config(config, dtype) -> ConvNeXtBackbone:
     spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
+    mixer = spec.get("token_mixer", "dwconv7")
+    dwconv_dense = bool(config.get("dwconv_dense", False))
+    if dwconv_dense and mixer == "inception":
+        warnings.warn(
+            "dwconv_dense has no effect with the InceptionNeXt mixer "
+            "(no 7x7 depthwise convs to re-lower); ignoring the flag",
+            stacklevel=2)
+        dwconv_dense = False
+    if dwconv_dense and jnp.dtype(dtype) == jnp.float32:
+        warnings.warn(
+            "dwconv_dense with an f32 compute dtype breaks the <1e-5 f32 "
+            "bit-parity invariant on TPU (the dense form runs on the MXU at "
+            "XLA default precision, ~1.2e-3 logit delta); intended for bf16 "
+            "serving only — see docs/CONFIG.md", stacklevel=2)
     return ConvNeXtBackbone(
         depths=spec["depths"], dims=spec["dims"],
-        token_mixer=spec.get("token_mixer", "dwconv7"), dtype=dtype,
+        token_mixer=mixer, dtype=dtype,
         mlp_ratio=spec.get("mlp_ratio", 4.0),
-        dwconv_dense=bool(config.get("dwconv_dense", False)),
+        dwconv_dense=dwconv_dense,
         name="backbone")
 
 

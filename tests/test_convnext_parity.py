@@ -108,3 +108,43 @@ def test_dwconv_dense_lowering_matches_depthwise():
         v_dw, image_input=jnp.asarray(img),
         metadata_input=jnp.asarray(meta), train=False))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+def test_dwconv_dense_guards():
+    """Serving-only-knob guards (ADVICE r4): dwconv_dense warns on an f32
+    compute dtype (breaks the TPU f32 bit-parity invariant), warns-and-
+    ignores under the InceptionNeXt mixer (no 7x7 dwconv to re-lower), and
+    is capped at DWCONV_DENSE_MAX_DIM channels (HBM cost of the diagonal
+    (7,7,C,C) expansion at large widths)."""
+    import warnings as _w
+
+    import pytest
+
+    from btsbot_tpu import init_model
+    from btsbot_tpu.models import convnext as cx
+
+    cfg_f32 = normalize_config({**BASE_CFG, "model_name": "mm_ConvNeXt",
+                                "dwconv_dense": True})
+    with pytest.warns(UserWarning, match="bit-parity"):
+        init_model(cfg_f32, rng=0)
+
+    cfg_inc = normalize_config({**BASE_CFG, "model_name": "mm_ConvNeXt",
+                                "model_kind": "inceptionnext_pico",
+                                "dwconv_dense": True})
+    with pytest.warns(UserWarning, match="no effect"):
+        model, variables = init_model(cfg_inc, rng=0, dtype=jnp.bfloat16)
+    assert not any("DWConvDense" in str(p) for p in
+                   [k for k, _ in __import__("jax").tree_util
+                    .tree_leaves_with_path(variables)])
+
+    # bf16 + dwconv form: no warning
+    cfg_bf16 = normalize_config({**BASE_CFG, "model_name": "mm_ConvNeXt",
+                                 "dwconv_dense": True})
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        init_model(cfg_bf16, rng=0, dtype=jnp.bfloat16)
+
+    # width cap: backbone drops the lowering above DWCONV_DENSE_MAX_DIM
+    bb = cx._backbone_from_config(
+        {**cfg_bf16, "model_kind": "convnext_base.fb_in1k"}, jnp.bfloat16)
+    assert bb.dwconv_dense  # flag carried; per-stage gate applies the cap
+    assert cx.DWCONV_DENSE_MAX_DIM == 512
