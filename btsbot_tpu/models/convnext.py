@@ -133,24 +133,33 @@ class DWConvDense(nn.Module):
     (off-diagonal zeros contribute nothing) and routes the op through XLA's
     dense-conv path instead of the grouped/VPU path.
 
-    bf16 SERVING optimization only: on TPU the dense form runs on the MXU
-    at XLA's DEFAULT precision (bf16 multiplies even in f32 — measured
-    ~1.2e-3 logit delta on the flagship, scripts/dwconv_dense_ab.py), while
-    the depthwise form computes true f32 on the VPU.  Keep it OFF for f32
-    bit-parity paths (torch-oracle tests, golden fixtures); in bf16 the two
-    forms agree within serving quantization noise (<0.01 score delta, gated
-    in scripts/dwconv_dense_ab.py — MXU vs VPU routing differs even in
-    bf16).  HBM cost: the diagonal expansion materializes a (7, 7, C, C)
-    kernel per block at trace time — negligible at pico widths (stage 3,
-    C=512: ~51 MB f32 / block, and XLA folds the constant), but ~196 MB
-    f32 per stage-3 block at convnext_base width (C=1024);
-    ``_backbone_from_config`` therefore only applies the lowering below
-    ``DWCONV_DENSE_MAX_DIM`` channels, where it was measured.  See
-    docs/dwconv_dense_experiment.json and the ``dwconv_dense`` config key
-    (docs/CONFIG.md)."""
+    MEASURED NEGATIVE under real bench conditions — kept for the record, do
+    not enable in production (repo precedent: ops/pallas_*.py,
+    ops/quantized.py).  The round-4 monkeypatch harness
+    (scripts/dwconv_dense_experiment.py) showed a +13% full-model win, but
+    under bench.py's own conditions (weights as jit arguments, 32 MB
+    scoped-vmem flag, scan-chained honest timing —
+    scripts/dwconv_dense_ab.py, v5e 2026-08-19) the dense form is a clear
+    LOSS: bf16 serving 285.8k vs 473.0k alerts/s (0.60×), f32
+    precision=HIGHEST 43.9k vs 102.5k (0.43×), and the full bf16 TRAIN
+    step 55.1k vs 81.7k (0.67× — scripts/dwconv_dense_train_ab.py).  The
+    monkeypatch win came from its unrepresentative baseline
+    (closure-captured weights, no vmem flag).  Numeric findings that remain useful: the 3-pass
+    ``precision='highest'`` dense form is BIT-EXACT vs the f32 VPU
+    depthwise on-chip (maxdiff 0.0), the default-precision dense form
+    shifts f32 logits ~1.2e-3 (MXU bf16 multiplies), and in bf16 both
+    forms' scores agree exactly at serving noise (gated <0.01).  HBM cost
+    of the expansion: (7, 7, C, C) per block — ~196 MB f32/block at
+    C=1024, so ``_backbone_from_config`` caps the lowering at
+    ``DWCONV_DENSE_MAX_DIM`` channels.  Full numbers:
+    docs/dwconv_dense_experiment.json (key ``bench_ab``)."""
 
     dim: int
     dtype: Dtype = jnp.float32
+    # None → XLA default (bf16 multiplies on the MXU, fastest); "highest" →
+    # lax.Precision.HIGHEST (3-pass bf16 = f32-accurate MXU, measured in
+    # scripts/dwconv_dense_ab.py for whether it preserves f32 parity at a win)
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -163,7 +172,8 @@ class DWConvDense(nn.Module):
         kd = kernel[:, :, 0, :, None] * jnp.eye(self.dim, dtype=kernel.dtype)
         y = jax.lax.conv_general_dilated(
             x, kd, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=self.precision)
         return y + bias
 
 
@@ -173,7 +183,8 @@ class ConvNeXtBlock(nn.Module):
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
     mlp_ratio: float = 4.0
-    dwconv_dense: bool = False
+    # False | True (XLA default precision) | "highest" (3-pass MXU)
+    dwconv_dense: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -181,7 +192,10 @@ class ConvNeXtBlock(nn.Module):
         if self.token_mixer == "inception":
             x = InceptionMixer(self.dim, dtype=self.dtype, name="mixer")(x)
         elif self.dwconv_dense:
-            x = DWConvDense(self.dim, dtype=self.dtype, name="conv_dw")(x)
+            prec = ("highest" if str(self.dwconv_dense).lower() == "highest"
+                    else None)
+            x = DWConvDense(self.dim, dtype=self.dtype, precision=prec,
+                            name="conv_dw")(x)
         else:
             x = nn.Conv(
                 self.dim, (7, 7), padding="SAME",
@@ -215,7 +229,7 @@ class ConvNeXtStage(nn.Module):
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
     mlp_ratio: float = 4.0
-    dwconv_dense: bool = False
+    dwconv_dense: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -242,7 +256,7 @@ class ConvNeXtBackbone(nn.Module):
     token_mixer: str = "dwconv7"
     dtype: Dtype = jnp.float32
     mlp_ratio: float = 4.0
-    dwconv_dense: bool = False
+    dwconv_dense: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -255,7 +269,8 @@ class ConvNeXtBackbone(nn.Module):
                 ls_init_value=self.ls_init_value,
                 token_mixer=self.token_mixer, dtype=self.dtype,
                 mlp_ratio=self.mlp_ratio,
-                dwconv_dense=self.dwconv_dense and dim <= DWCONV_DENSE_MAX_DIM,
+                dwconv_dense=(self.dwconv_dense
+                              if dim <= DWCONV_DENSE_MAX_DIM else False),
                 name=f"stage{s}",
             )(x)
         return x
@@ -264,19 +279,21 @@ class ConvNeXtBackbone(nn.Module):
 def _backbone_from_config(config, dtype) -> ConvNeXtBackbone:
     spec = convnext_spec(config.get("model_kind", "convnext_nano.d1h_in1k"))
     mixer = spec.get("token_mixer", "dwconv7")
-    dwconv_dense = bool(config.get("dwconv_dense", False))
+    dwconv_dense = config.get("dwconv_dense", False) or False
     if dwconv_dense and mixer == "inception":
         warnings.warn(
             "dwconv_dense has no effect with the InceptionNeXt mixer "
             "(no 7x7 depthwise convs to re-lower); ignoring the flag",
             stacklevel=2)
         dwconv_dense = False
-    if dwconv_dense and jnp.dtype(dtype) == jnp.float32:
+    highest = str(dwconv_dense).lower() == "highest"
+    if dwconv_dense and not highest and jnp.dtype(dtype) == jnp.float32:
         warnings.warn(
             "dwconv_dense with an f32 compute dtype breaks the <1e-5 f32 "
             "bit-parity invariant on TPU (the dense form runs on the MXU at "
             "XLA default precision, ~1.2e-3 logit delta); intended for bf16 "
-            "serving only — see docs/CONFIG.md", stacklevel=2)
+            "serving only — use dwconv_dense: 'highest' for an f32-accurate "
+            "3-pass MXU form, or see docs/CONFIG.md", stacklevel=2)
     return ConvNeXtBackbone(
         depths=spec["depths"], dims=spec["dims"],
         token_mixer=mixer, dtype=dtype,

@@ -48,10 +48,13 @@ def parity_check(batch: int = 256) -> dict:
     meta32 = rng.normal(size=(batch, 25)).astype(np.float32)
 
     out = {}
-    for dtype, key in ((jnp.float32, "f32_logit_maxdiff"),
-                       (jnp.bfloat16, "bf16_score_maxdiff")):
+    for dtype, dense_mode, key in (
+            (jnp.float32, True, "f32_logit_maxdiff"),
+            (jnp.float32, "highest", "f32_highest_logit_maxdiff"),
+            (jnp.bfloat16, True, "bf16_score_maxdiff")):
         cfg_dw = normalize_config(dict(FLAGSHIP_CONFIG))
-        cfg_dd = normalize_config({**FLAGSHIP_CONFIG, "dwconv_dense": True})
+        cfg_dd = normalize_config({**FLAGSHIP_CONFIG,
+                                   "dwconv_dense": dense_mode})
         model_dw, variables = init_model(cfg_dw, rng=0, dtype=dtype)
         model_dd, _ = init_model(cfg_dd, rng=0, dtype=dtype)
         img = jnp.asarray(img32, dtype)
@@ -80,7 +83,7 @@ def main():
 
     from __graft_entry__ import FLAGSHIP_CONFIG
 
-    results = {"parity": parity, "runs": {}}
+    results = {"parity": parity, "runs": {}, "runs_f32": {}}
     for label, cfg in (
             ("dwconv", None),
             ("dwconv_dense", {**FLAGSHIP_CONFIG, "dwconv_dense": True})):
@@ -99,6 +102,29 @@ def main():
     results["speedup_best"] = round(best_dd / best_dw, 4)
     print(f"best: dwconv {best_dw:,.0f}  dense {best_dd:,.0f}  "
           f"speedup {results['speedup_best']}x", flush=True)
+
+    # f32 leg: does the 3-pass MXU dense form (precision=HIGHEST) beat the
+    # true-f32 VPU depthwise while keeping f32 parity?  If yes the lowering
+    # stops being bf16-only.
+    for label, cfg in (
+            ("dwconv", None),
+            ("dwconv_dense_highest",
+             {**FLAGSHIP_CONFIG, "dwconv_dense": "highest"})):
+        score, variables = bench.build_scorer(jnp.float32, iters=50,
+                                              config=cfg)
+        rates = {}
+        for batch in (3072, 4096):
+            rates[batch] = round(bench.bench_batch(
+                score, variables, batch, jnp.float32), 1)
+            print(f"f32 {label} batch={batch}: {rates[batch]:,.0f} alerts/s",
+                  flush=True)
+        results["runs_f32"][label] = rates
+    best_dw32 = max(results["runs_f32"]["dwconv"].values())
+    best_hi32 = max(results["runs_f32"]["dwconv_dense_highest"].values())
+    results["speedup_f32_highest"] = round(best_hi32 / best_dw32, 4)
+    print(f"f32 best: dwconv {best_dw32:,.0f}  dense-highest "
+          f"{best_hi32:,.0f}  speedup {results['speedup_f32_highest']}x",
+          flush=True)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "dwconv_dense_experiment.json")
