@@ -41,3 +41,23 @@ def synthetic_packets(n: int, meta_cols, seed: int = 0,
             **{k: {"stampData": shared if shared is not None else blob()}
                for k in CUTOUT_KEYS},
         }
+
+
+def synthetic_avro_ocf(n: int, meta_cols, seed: int = 0,
+                       codec: str = "deflate",
+                       block_records: int | None = 64) -> bytes:
+    """Encode n synthetic alerts as a ZTF Avro OCF byte blob — the actual
+    broker wire format (data/avro.py codec; schema per ztf_alert_schema).
+    Used by bench.py's e2e_avro leg and available for demos/tests."""
+    from .avro import write_ocf, ztf_alert_schema
+
+    records = []
+    for i, p in enumerate(synthetic_packets(n, meta_cols, seed=seed)):
+        rec = {"objectId": f"ZTFsynth{i}", "candid": p["candid"],
+               "candidate": p["candidate"]}
+        for k in CUTOUT_KEYS:
+            rec[k] = {"fileName": f"{i}.fits.gz",
+                      "stampData": p[k]["stampData"]}
+        records.append(rec)
+    return write_ocf(ztf_alert_schema(meta_cols), records, codec=codec,
+                     block_records=block_records)

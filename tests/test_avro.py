@@ -253,3 +253,23 @@ def test_wire_size_and_json_interop():
     recs = [{"v": "transient " * 50}] * 20
     assert len(write_ocf(txt_schema, recs, codec="deflate")) < \
         len(write_ocf(txt_schema, recs, codec="null")) / 5
+
+def test_synthetic_avro_ocf_roundtrip():
+    """bench.py's e2e_avro leg encodes synthetic alerts as a real OCF blob
+    (deflate, multi-block); the in-repo stream decoder must recover every
+    record with scorer-consumable structure."""
+    import io
+
+    from btsbot_tpu.data.avro import iter_ocf_stream
+    from btsbot_tpu.data.synthetic import synthetic_avro_ocf
+
+    meta = ["magpsf", "ra", "dec"]
+    blob = synthetic_avro_ocf(7, meta, block_records=3)
+    recs = list(iter_ocf_stream(io.BytesIO(blob)))
+    assert len(recs) == 7
+    assert [r["candid"] for r in recs] == list(range(7))
+    for r in recs:
+        assert set(r["candidate"]) == set(meta)
+        for k in ("cutoutScience", "cutoutTemplate", "cutoutDifference"):
+            assert isinstance(r[k]["stampData"], bytes)
+            assert r[k]["stampData"][:2] == b"\x1f\x8b"  # gzip magic
