@@ -46,7 +46,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-REF_DATA = "/root/reference/btsbot/example_data"
+# Overridable so CI runners (which clone the public upstream themselves)
+# can point at their own checkout — see .github/workflows/ci.yml
+# `real-checkpoints:` job.
+REF_DATA = os.environ.get("BTSBOT_REF_DATA",
+                          "/root/reference/btsbot/example_data")
 
 TIMM_KINDS = ("convnext_pico.d1_in1k", "maxvit_tiny_rw_224.sw_in1k")
 
