@@ -144,9 +144,9 @@ class DWConvDense(nn.Module):
     precision=HIGHEST 43.9k vs 102.5k (0.43×), and the full bf16 TRAIN
     step 55.1k vs 81.7k (0.67× — scripts/dwconv_dense_train_ab.py).  The
     monkeypatch win came from its unrepresentative baseline
-    (closure-captured weights, no vmem flag).  Numeric findings that remain useful: the 3-pass
-    ``precision='highest'`` dense form is BIT-EXACT vs the f32 VPU
-    depthwise on-chip (maxdiff 0.0), the default-precision dense form
+    (closure-captured weights, no vmem flag).  Findings that remain
+    useful: the 3-pass ``precision='highest'`` dense form is BIT-EXACT vs
+    the f32 VPU depthwise on-chip (maxdiff 0.0), the default-precision form
     shifts f32 logits ~1.2e-3 (MXU bf16 multiplies), and in bf16 both
     forms' scores agree exactly at serving noise (gated <0.01).  HBM cost
     of the expansion: (7, 7, C, C) per block — ~196 MB f32/block at

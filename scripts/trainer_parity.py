@@ -84,7 +84,73 @@ ARCHS = {
         "meta_fc1_neurons": 128, "meta_fc2_neurons": 128,
         "meta_dropout": 0.3,
     },
+    # timm-backed flagship (VERDICT r4 #3): the reference's run_training
+    # executes with the builder's torch ConvNeXt mirror installed as the
+    # stub timm.create_model backbone — exactly the test_reference_oracle
+    # trick — so the reference's head surgery, freeze logic, and training
+    # loop all run reference-authored; only the (downloaded, not
+    # reference-authored) timm internals are mirror-defined.
+    "mm_ConvNeXt": {
+        "model_name": "mm_ConvNeXt",
+        "model_kind": "convnext_pico.d1_in1k", "pretrained": False,
+        "meta_fc1_neurons": 128, "meta_fc2_neurons": 128,
+        "meta_dropout": 0.25,
+        "comb_fc1_neurons": 256, "comb_fc2_neurons": 32,
+        "comb_dropout": 0.2,
+    },
+    # two-stage workflow (architectures.py:296-372 + train.py:224-236, the
+    # riskiest untested trainer path: branch loading + freeze masking).
+    # Branch runs (um_cnn + um_nn, same seed) are trained per side first;
+    # each side fuses its OWN branch run dirs.
+    "frozen_fusion": {
+        "model_name": "frozen_fusion",
+        "comb_fc1_neurons": 64, "comb_fc2_neurons": 32, "comb_dropout": 0.2,
+    },
 }
+
+# models whose reference class calls timm.create_model — these runs install
+# the torch mirror backbone as the stub factory
+TIMM_BACKED = {"mm_ConvNeXt"}
+
+
+def _mirror_create_model():
+    """timm.create_model stand-in returning the builder's torch ConvNeXt
+    mirror with a timm-style NormMlpClassifierHead surface (the attributes
+    the reference's surgery composes — architectures.py:109-119,134-143)."""
+    import torch.nn as nn
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from torch_mirrors import (GlobalAvgPool2d, LayerNorm2d,
+                               TimmStyleConvNeXt)
+
+    class FakeNormMlpHead(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.global_pool = GlobalAvgPool2d()
+            self.norm = LayerNorm2d(dim, eps=1e-6)
+            self.flatten = nn.Flatten(1)
+            self.fc = nn.Linear(dim, 1000)
+            self.in_features = dim
+
+        def forward(self, x):
+            return self.fc(self.flatten(self.norm(self.global_pool(x))))
+
+    class FakeTimmConvNeXt(TimmStyleConvNeXt):
+        def __init__(self):
+            super().__init__(depths=(2, 2, 6, 2), dims=(64, 128, 256, 512))
+            self.head = FakeNormMlpHead(512)
+
+        def forward(self, x):
+            return self.head(self.stages(self.stem(x)))
+
+    def create_model(model_kind, pretrained=True):
+        assert pretrained is False, \
+            "parity runs must pass pretrained=False (no downloads here)"
+        assert "convnext_pico" in model_kind, model_kind
+        return FakeTimmConvNeXt()
+
+    return create_model
 
 
 # --------------------------------------------------------------------------
@@ -168,9 +234,11 @@ def _build_transforms_stub():
 
 
 @contextlib.contextmanager
-def reference_trainer():
+def reference_trainer(create_model=None):
     """Import the reference's train.py (+val/utils/architectures) with the
-    absent deps stubbed; yields the train module.  Restores sys state."""
+    absent deps stubbed; yields the train module.  Restores sys state.
+    ``create_model`` installs a timm.create_model factory for timm-backed
+    families (None for the plain-torch families, which never call it)."""
     from importlib.machinery import ModuleSpec
 
     names = ("timm", "wandb", "generate_embeddings", "utils",
@@ -185,7 +253,7 @@ def reference_trainer():
         m = types.ModuleType(extra)
         m.__spec__ = ModuleSpec(extra, loader=None)
         stubs[extra] = m
-    stubs["timm"].create_model = None            # unused: plain-torch models
+    stubs["timm"].create_model = create_model    # None for plain-torch models
     stubs["generate_embeddings"].get_torch_embedding = None  # gated off
     # testing=True keeps every wandb call unreached (train.py:274-279)
 
@@ -266,30 +334,36 @@ def write_reference_files(workdir, splits, version, meta_cols):
 # One run per (trainer, model, seed)
 # --------------------------------------------------------------------------
 
-def run_reference(workdir, model, seed, epochs, quiet=True):
+def _ref_run_dir(workdir, model):
+    return os.path.join(
+        workdir, "models", f"{model}_{COMMON_HP['train_data_version']}"
+        f"_N100_cpu", "testing")
+
+
+def run_reference(workdir, model, seed, epochs, quiet=True, extra=None):
     """Reference trainer in workdir; returns {roc_auc, bal_acc, val_loss,
     epochs_ran, wall_s}."""
     import torch
 
-    config = {**COMMON_HP, **ARCHS[model], "epochs": epochs,
-              "random_seed": seed, "metadata_cols": META_COLS}
+    config = {**COMMON_HP, **ARCHS[model], **(extra or {}),
+              "epochs": epochs, "random_seed": seed,
+              "metadata_cols": META_COLS}
     # the reference seeds numpy + CUDA but not torch CPU (train.py:106-107)
     # — pin it here so each (model, seed) run is reproducible
     torch.manual_seed(seed)
+    factory = _mirror_create_model() if model in TIMM_BACKED else None
     prev_cwd = os.getcwd()
     os.chdir(workdir)
     t0 = time.time()
     try:
-        with reference_trainer() as train:
+        with reference_trainer(create_model=factory) as train:
             sink = io.StringIO() if quiet else sys.stdout
             with contextlib.redirect_stdout(sink):
                 train.run_training(dict(config))
     finally:
         os.chdir(prev_cwd)
     wall = time.time() - t0
-    report_path = os.path.join(
-        workdir, "models", f"{model}_{COMMON_HP['train_data_version']}"
-        f"_N100_cpu", "testing", "report.json")
+    report_path = os.path.join(_ref_run_dir(workdir, model), "report.json")
     with open(report_path) as f:
         report = json.load(f)
     hist = report["Training history"]
@@ -301,12 +375,13 @@ def run_reference(workdir, model, seed, epochs, quiet=True):
             "wall_s": round(wall, 1)}
 
 
-def run_ours(out_root, model, seed, epochs, splits):
+def run_ours(out_root, model, seed, epochs, splits, extra=None):
     from btsbot_tpu import normalize_config
     from btsbot_tpu.engine.train import run_training
 
     cfg = normalize_config({
-        **COMMON_HP, **ARCHS[model], "epochs": epochs, "random_seed": seed,
+        **COMMON_HP, **ARCHS[model], **(extra or {}),
+        "epochs": epochs, "random_seed": seed,
         "metadata_cols": META_COLS,
     })
     t0 = time.time()
@@ -319,7 +394,33 @@ def run_ours(out_root, model, seed, epochs, splits):
     return {"roc_auc": summ["roc_auc"], "bal_acc": summ["bal_acc"],
             "val_loss": min(result["history"]["val_loss"]),
             "epochs_ran": len(result["history"]["val_loss"]),
-            "wall_s": round(wall, 1)}
+            "wall_s": round(wall, 1),
+            "_model_dir": result["model_dir"]}
+
+
+def run_reference_fusion(workdir, seed, epochs, quiet=True):
+    """frozen_fusion, reference side: train um_cnn + um_nn branches at this
+    seed (reference trainer, same fixture), then fuse their run dirs and
+    train the combined head with the branches frozen (train.py:224-231)."""
+    for branch in ("um_cnn", "um_nn"):
+        run_reference(workdir, branch, seed, epochs, quiet=quiet)
+    extra = {"image_model_dir": _ref_run_dir(workdir, "um_cnn"),
+             "meta_model_dir": _ref_run_dir(workdir, "um_nn")}
+    return run_reference(workdir, "frozen_fusion", seed, epochs,
+                         quiet=quiet, extra=extra)
+
+
+def run_ours_fusion(out_root, seed, epochs, splits):
+    """frozen_fusion, our side: same two-stage workflow on OUR trainer's
+    branch run dirs."""
+    dirs = {}
+    for branch in ("um_cnn", "um_nn"):
+        dirs[branch] = run_ours(out_root, branch, seed, epochs,
+                                splits)["_model_dir"]
+    extra = {"image_model_dir": dirs["um_cnn"],
+             "meta_model_dir": dirs["um_nn"]}
+    return run_ours(out_root, "frozen_fusion", seed, epochs, splits,
+                    extra=extra)
 
 
 def _agg(runs):
@@ -373,13 +474,22 @@ def main():
     for model in models:
         ref_runs, our_runs = [], []
         for seed in seeds:
-            r = run_reference(args.workdir, model, seed, args.epochs,
-                              quiet=not args.verbose)
+            if model == "frozen_fusion":
+                r = run_reference_fusion(args.workdir, seed, args.epochs,
+                                         quiet=not args.verbose)
+            else:
+                r = run_reference(args.workdir, model, seed, args.epochs,
+                                  quiet=not args.verbose)
             print(f"reference {model} seed={seed}: {json.dumps(r)}",
                   flush=True)
             ref_runs.append(r)
-            o = run_ours(os.path.join(args.workdir, "ours"), model, seed,
-                         args.epochs, splits)
+            if model == "frozen_fusion":
+                o = run_ours_fusion(os.path.join(args.workdir, "ours"),
+                                    seed, args.epochs, splits)
+            else:
+                o = run_ours(os.path.join(args.workdir, "ours"), model,
+                             seed, args.epochs, splits)
+            o.pop("_model_dir", None)  # tmp path, not evidence
             print(f"ours      {model} seed={seed}: {json.dumps(o)}",
                   flush=True)
             our_runs.append(o)
@@ -402,6 +512,17 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     out_path = os.path.join(args.out, "trainer_parity.json")
+    # merge with prior runs (different --models invocations accumulate;
+    # fixtures are recorded per model so mixed-size runs stay attributable)
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged_models = {**prior.get("models", {}), **results["models"]}
+        for name in results["models"]:
+            merged_models[name] = {**results["models"][name],
+                                   "fixture": results["fixture"]}
+        prior_fixture = prior.get("fixture", results["fixture"])
+        results = {"fixture": prior_fixture, "models": merged_models}
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {out_path}")
