@@ -431,6 +431,35 @@ def _agg(runs):
             "roc_auc_max": float(np.max(aucs))}
 
 
+# --------------------------------------------------------------------------
+# Per-seed sidecar: every completed (model, side, seed) run is persisted to
+# <workdir>/partial_results.json immediately, and a restarted invocation
+# resumes from it.  Individual legs are 10-70 min on this single-core host;
+# without this, a mid-run kill loses whole seeds (it lost frozen_fusion
+# seeds 0-1 once — the runs finished but only their stdout had the numbers).
+# --------------------------------------------------------------------------
+
+def _sidecar_path(workdir):
+    return os.path.join(workdir, "partial_results.json")
+
+
+def _sidecar_load(workdir):
+    path = _sidecar_path(workdir)
+    if os.path.isfile(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _sidecar_put(workdir, partial, model, side, seed, result):
+    result = {k: v for k, v in result.items() if not k.startswith("_")}
+    partial.setdefault(model, {}).setdefault(side, {})[str(seed)] = result
+    tmp = _sidecar_path(workdir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(partial, f, indent=1)
+    os.replace(tmp, _sidecar_path(workdir))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--objects", type=int, default=400)
@@ -471,25 +500,33 @@ def main():
                            "hyperparams": {k: v for k, v in COMMON_HP.items()
                                            if k != "testing"}},
                "models": {}}
+    partial = _sidecar_load(args.workdir)
     for model in models:
         ref_runs, our_runs = [], []
         for seed in seeds:
-            if model == "frozen_fusion":
-                r = run_reference_fusion(args.workdir, seed, args.epochs,
-                                         quiet=not args.verbose)
-            else:
-                r = run_reference(args.workdir, model, seed, args.epochs,
-                                  quiet=not args.verbose)
+            r = partial.get(model, {}).get("reference", {}).get(str(seed))
+            if r is None:
+                if model == "frozen_fusion":
+                    r = run_reference_fusion(args.workdir, seed, args.epochs,
+                                             quiet=not args.verbose)
+                else:
+                    r = run_reference(args.workdir, model, seed, args.epochs,
+                                      quiet=not args.verbose)
+                _sidecar_put(args.workdir, partial, model, "reference",
+                             seed, r)
             print(f"reference {model} seed={seed}: {json.dumps(r)}",
                   flush=True)
             ref_runs.append(r)
-            if model == "frozen_fusion":
-                o = run_ours_fusion(os.path.join(args.workdir, "ours"),
-                                    seed, args.epochs, splits)
-            else:
-                o = run_ours(os.path.join(args.workdir, "ours"), model,
-                             seed, args.epochs, splits)
-            o.pop("_model_dir", None)  # tmp path, not evidence
+            o = partial.get(model, {}).get("ours", {}).get(str(seed))
+            if o is None:
+                if model == "frozen_fusion":
+                    o = run_ours_fusion(os.path.join(args.workdir, "ours"),
+                                        seed, args.epochs, splits)
+                else:
+                    o = run_ours(os.path.join(args.workdir, "ours"), model,
+                                 seed, args.epochs, splits)
+                o.pop("_model_dir", None)  # tmp path, not evidence
+                _sidecar_put(args.workdir, partial, model, "ours", seed, o)
             print(f"ours      {model} seed={seed}: {json.dumps(o)}",
                   flush=True)
             our_runs.append(o)
@@ -509,24 +546,35 @@ def main():
               f"ours {our_agg['roc_auc_mean']:.4f}"
               f"±{our_agg['roc_auc_std']:.4f}  delta {delta:+.4f}  "
               f"parity={results['models'][model]['parity']}", flush=True)
+        # persist after EVERY model so a mid-run kill can't lose a
+        # finished leg (multi-hour CPU runs; same rationale as
+        # quality_run.py's per-model summary.json writes)
+        _merge_write(args.out, results, [model])
 
-    os.makedirs(args.out, exist_ok=True)
-    out_path = os.path.join(args.out, "trainer_parity.json")
-    # merge with prior runs (different --models invocations accumulate;
-    # fixtures are recorded per model so mixed-size runs stay attributable)
+    print("TRAINER_PARITY_DONE", flush=True)
+
+
+def _merge_write(out_dir, results, new_models):
+    """Merge ``new_models`` of ``results`` into docs/trainer_parity.json.
+
+    Different --models invocations accumulate; fixtures are recorded per
+    model so mixed-size runs stay attributable."""
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "trainer_parity.json")
+    merged = {"fixture": results["fixture"],
+              "models": dict(results["models"])}
     if os.path.isfile(out_path):
         with open(out_path) as f:
             prior = json.load(f)
-        merged_models = {**prior.get("models", {}), **results["models"]}
-        for name in results["models"]:
+        merged_models = dict(prior.get("models", {}))
+        for name in new_models:
             merged_models[name] = {**results["models"][name],
                                    "fixture": results["fixture"]}
-        prior_fixture = prior.get("fixture", results["fixture"])
-        results = {"fixture": prior_fixture, "models": merged_models}
+        merged = {"fixture": prior.get("fixture", results["fixture"]),
+                  "models": merged_models}
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
-    print(f"wrote {out_path}")
-    print("TRAINER_PARITY_DONE", flush=True)
+        json.dump(merged, f, indent=1)
+    print(f"wrote {out_path} (+{','.join(new_models)})", flush=True)
 
 
 if __name__ == "__main__":
