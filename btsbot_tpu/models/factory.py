@@ -64,11 +64,27 @@ def example_inputs(config, batch_size: int = 1, dtype=jnp.float32):
 
 
 def init_model(config, rng: jax.Array | int = 0, dtype=jnp.float32):
-    """Build and initialize a model; returns (module, variables)."""
+    """Build and initialize a model; returns (module, variables).
+
+    ``init_scheme`` (default "torch") redraws kernel/bias leaves at torch's
+    module defaults — the reference's from-scratch starting point, which
+    trains measurably better than flax defaults (models/init.py docstring);
+    "flax" keeps flax's lecun_normal/zeros.
+    """
+    if not isinstance(config, Config):
+        config = normalize_config(config)
     if isinstance(rng, int):
         rng = jax.random.key(rng)
     model = build_model(config, dtype=dtype)
     image, metadata = example_inputs(config, dtype=dtype)
     variables = model.init(rng, image_input=image, metadata_input=metadata,
                            train=False)
+    scheme = config.get("init_scheme", "torch")
+    if scheme == "torch":
+        from .init import torch_default_reinit
+        variables = dict(variables)
+        variables["params"] = torch_default_reinit(rng, variables["params"])
+    elif scheme != "flax":
+        raise ValueError(f"unknown init_scheme: {scheme!r} "
+                         "(expected 'torch' or 'flax')")
     return model, variables
