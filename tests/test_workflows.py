@@ -71,8 +71,11 @@ def test_frozen_fusion_full_workflow(tmp_path):
         val_ds=AlertDataset(labels=val_ds.labels, images=val_ds.images),
         make_figure=False, log=lambda *_: None)
 
+    # epochs sized for the torch-default init (models/init.py): the head
+    # sits at the majority class for ~2 epochs before learning (flax init
+    # needed only 3 epochs; the shipped default needs the longer schedule)
     meta_cfg = normalize_config({**SMALL_CFG, "model_name": "um_nn",
-                                 "epochs": 3, "learning_rate": 5e-3})
+                                 "epochs": 6, "learning_rate": 5e-3})
     meta_result = run_training(
         meta_cfg, run_name="b", out_root=str(tmp_path / "meta"),
         train_ds=AlertDataset(labels=train_ds.labels,
@@ -87,7 +90,7 @@ def test_frozen_fusion_full_workflow(tmp_path):
         "meta_model_dir": meta_result["model_dir"],
         "image_model_config": dict(img_cfg),
         "meta_model_config": dict(meta_cfg),
-        "epochs": 3,
+        "epochs": 8,
         "learning_rate": 5e-3,
     })
     model, fusion_vars = init_model(fusion_cfg, rng=0)
