@@ -27,6 +27,10 @@ MULTIMODAL_MODELS = ("mm_MaxViT", "mm_ConvNeXt", "mm_cnn", "frozen_fusion")
 
 _DEFAULTS: dict[str, Any] = {
     "pretrained": True,
+    # stamped explicitly so every run's report.json records which
+    # initialization trained it (the default changed flax->torch in r5;
+    # models/init.py) — a config replayed later is self-describing
+    "init_scheme": "torch",
     "image_size": 63,
     "N_max": 100,
     "warmup_epochs": 0,
