@@ -4,6 +4,10 @@ Trains OUR engine on the trainer-parity fixture three ways:
   A. flax-default init (control; should reproduce the ~0.967 CPU numbers)
   B. torch-default init imported from the reference model itself
      (torch.manual_seed(seed) -> architectures.mm_ConvNeXt -> converter)
+  C. the SHIPPED default init (models/init.py torch_default_reinit, i.e.
+     init_scheme="torch" with no transplant) — validates that the
+     package's own redraw, not just the exact reference transplant,
+     recovers reference trainer quality on the flagship
 Runs on the TPU for speed; prints one JSON line per leg.
 Committed artifact: docs/init_experiment.json (r5; led to models/init.py).
 """
@@ -67,6 +71,15 @@ def main():
                              train_ds=splits["train"], val_ds=splits["val"],
                              make_figure=False, initial_variables=variables,
                              log=lambda m: None)
+            record(key, r["summaries"]["val"], time.time() - t)
+
+        key = f"shipped_init_s{seed}"
+        if key not in results:
+            assert cfg["init_scheme"] == "torch"  # the shipped default
+            t = time.time()
+            r = run_training(cfg, run_name=key, out_root="/tmp/torchinit_runs",
+                             train_ds=splits["train"], val_ds=splits["val"],
+                             make_figure=False, log=lambda m: None)
             record(key, r["summaries"]["val"], time.time() - t)
 
         key = f"flax_init_s{seed}"
